@@ -1,0 +1,60 @@
+"""Fixed-capacity masked sets — the TPU replacement for dynamic-length lists.
+
+Everything under ``jit`` must be shape-static, so "a variable number of
+detections" becomes a padded index array plus a validity mask and a count.
+These helpers convert between boolean maps and padded index sets and are used
+throughout the detector / point-cloud / estimator stages.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def mask_to_indices(mask: jax.Array, capacity: int):
+    """Indices of True entries of a 1D boolean mask, in ascending order.
+
+    Returns ``(indices, valid, count)``:
+    - ``indices``: (capacity,) int32, first ``count`` entries are the True
+      positions in ascending order; the rest are 0-padded.
+    - ``valid``: (capacity,) bool validity mask.
+    - ``count``: () int32 number of True entries (clamped to ``capacity``).
+    """
+    n = mask.shape[0]
+    # Sort keys: valid entries keep their index, invalid entries push to +inf.
+    keys = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    order = jnp.sort(keys)[:capacity]
+    valid = order < n
+    indices = jnp.where(valid, order, 0).astype(jnp.int32)
+    count = jnp.minimum(jnp.sum(mask).astype(jnp.int32), capacity)
+    return indices, valid, count
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def mask_to_indices_2d(mask: jax.Array, capacity: int):
+    """Row-major (row, col) indices of True entries of a 2D boolean mask.
+
+    Returns ``(rows, cols, valid, count)`` with the same padding semantics as
+    :func:`mask_to_indices`.  Row-major order matches ``np.where`` and hence
+    the reference's ``list(zip(*np.where(mask)))`` detection ordering
+    (``detectors/base.py:229-230``).
+    """
+    r, c = mask.shape
+    flat_idx, valid, count = mask_to_indices(mask.reshape(-1), capacity)
+    return flat_idx // c, flat_idx % c, valid, count
+
+
+def top_k_masked(values: jax.Array, valid: jax.Array, k: int):
+    """Top-k of ``values`` restricted to ``valid`` entries.
+
+    Returns ``(top_values, top_indices, top_valid)``; invalid inputs are
+    treated as -inf and never selected as valid outputs.
+    """
+    neg_inf = jnp.asarray(-jnp.inf, values.dtype)
+    masked = jnp.where(valid, values, neg_inf)
+    top_values, top_indices = jax.lax.top_k(masked, k)
+    return top_values, top_indices, top_values > neg_inf

@@ -1,0 +1,50 @@
+"""TDM-MIMO virtual-array reformatting as a pure reshape/transpose.
+
+The reference gathers chirps per chirp-config index in a Python loop
+(``processors/virtual_array_reformater.py:44-66``), mapping a raw cube
+``[rx, sample, chirp]`` with interleaved TX order into
+``[rx * chirp_cfgs_per_loop, sample, loops]``.
+
+Because the TDM chirp order within a frame is exactly
+``chirp = loop * cfgs_per_loop + cfg``, the whole gather collapses to a
+reshape + transpose — zero FLOPs, one layout change that XLA folds into the
+next kernel's input layout.  Virtual channel ``v = cfg * num_rx + rx``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mmwave_radar_processing_tpu.config import RadarConfig
+from mmwave_radar_processing_tpu.processors.base import Processor
+
+
+@partial(jax.jit, static_argnames=("num_rx", "cfgs_per_loop"))
+def reformat(adc_cube: jax.Array, *, num_rx: int, cfgs_per_loop: int) -> jax.Array:
+    """``[..., rx, sample, loops*cfgs] -> [..., cfgs*rx, sample, loops]``."""
+    *batch, rx, ns, nc = adc_cube.shape
+    loops = nc // cfgs_per_loop
+    x = adc_cube[..., :num_rx, :, :].reshape(*batch, num_rx, ns, loops, cfgs_per_loop)
+    # -> [..., cfg, rx, sample, loop]
+    x = jnp.moveaxis(x, -1, -4)
+    return x.reshape(*batch, cfgs_per_loop * num_rx, ns, loops)
+
+
+class VirtualArrayReformatter(Processor):
+    """Object facade matching the reference's ``VirtualArrayReformatter`` API."""
+
+    def __init__(self, config: RadarConfig, **kwargs):
+        super().__init__(config)
+        self.chirp_cfgs_per_loop = config.chirp_cfgs_per_loop
+        self.adc_samples_per_chirp = config.num_adc_samples
+
+    def process(self, adc_cube: jax.Array, **kwargs) -> jax.Array:
+        """Reformat one frame (or a batch with leading axes) of raw ADC data."""
+        return reformat(
+            adc_cube,
+            num_rx=self.config.num_rx_antennas,
+            cfgs_per_loop=self.chirp_cfgs_per_loop,
+        )

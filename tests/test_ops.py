@@ -1,0 +1,311 @@
+"""Ops layer: chirp-z / zoom FFT, peak finding, CFAR maps, RANSAC.
+
+Golden sources: scipy (ZoomFFT, find_peaks, peak_prominences) and sklearn
+(RANSACRegressor) run on the same inputs, plus independent numpy oracles for
+CFAR written directly from the textbook definitions.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from mmwave_radar_processing_tpu.ops import cfar, czt, masked, peaks, ransac
+
+
+# --------------------------------------------------------------------------- #
+# masked sets
+# --------------------------------------------------------------------------- #
+def test_mask_to_indices():
+    mask = np.array([0, 1, 0, 0, 1, 1, 0, 1], dtype=bool)
+    idx, valid, count = masked.mask_to_indices(mask, 6)
+    assert count == 4
+    np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)], [1, 4, 5, 7])
+
+    # overflow clamps to capacity, keeps ascending order
+    idx, valid, count = masked.mask_to_indices(np.ones(10, bool), 4)
+    assert count == 4
+    np.testing.assert_array_equal(np.asarray(idx), [0, 1, 2, 3])
+
+
+def test_mask_to_indices_2d_row_major():
+    mask = np.zeros((4, 5), bool)
+    mask[1, 3] = mask[2, 0] = mask[3, 4] = True
+    rows, cols, valid, count = masked.mask_to_indices_2d(mask, 8)
+    ref_r, ref_c = np.where(mask)
+    assert count == 3
+    np.testing.assert_array_equal(np.asarray(rows)[np.asarray(valid)], ref_r)
+    np.testing.assert_array_equal(np.asarray(cols)[np.asarray(valid)], ref_c)
+
+
+# --------------------------------------------------------------------------- #
+# chirp-z / zoom FFT
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("n,m,f1,f2,fs", [
+    (63, 63, 10.0, 20.0, 100.0),
+    (63, 40, 3.0, 9.5, 16.0),
+    (70, 70, 0.5, 7.0, 32.258),
+    (128, 64, -12.0, 12.0, 64.0),
+])
+def test_zoom_fft_matches_scipy(rng, n, m, f1, f2, fs):
+    x = (rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))).astype(np.complex64)
+    ref = scipy.signal.ZoomFFT(n, [f1, f2], m=m, fs=fs)(x, axis=-1)
+    ours = np.asarray(czt.zoom_fft(x, n=n, m=m, f1=f1, f2=f2, fs=fs, axis=-1))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+    ours_dyn = np.asarray(
+        czt.zoom_fft_dynamic(x, np.float32(f1), np.float32(f2), n=n, m=m, fs=fs, axis=-1)
+    )
+    np.testing.assert_allclose(ours_dyn, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_zoom_fft_axis(rng):
+    x = (rng.standard_normal((5, 63, 7)) + 1j * rng.standard_normal((5, 63, 7))).astype(
+        np.complex64
+    )
+    ref = scipy.signal.ZoomFFT(63, [2.0, 11.0], fs=30.0)(x, axis=1)
+    ours = np.asarray(czt.zoom_fft(x, n=63, f1=2.0, f2=11.0, fs=30.0, axis=1))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+# --------------------------------------------------------------------------- #
+# peaks
+# --------------------------------------------------------------------------- #
+def _smooth_signal(rng, n=128):
+    x = rng.standard_normal(n)
+    kernel = np.hanning(9)
+    return np.convolve(x, kernel / kernel.sum(), mode="same")
+
+
+def test_local_maxima_matches_scipy(rng):
+    for _ in range(20):
+        x = _smooth_signal(rng)
+        ref, _ = scipy.signal.find_peaks(x)
+        ours = np.flatnonzero(np.asarray(peaks.local_maxima(x)))
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_prominences_match_scipy(rng):
+    for _ in range(20):
+        x = _smooth_signal(rng)
+        pk, _ = scipy.signal.find_peaks(x)
+        ref_prom = scipy.signal.peak_prominences(x, pk)[0]
+        mask = np.zeros(len(x), bool)
+        mask[pk] = True
+        ours = np.asarray(peaks.prominences(x, mask))[pk]
+        # ours runs in float32 under jit; compare at float32 precision
+        np.testing.assert_allclose(ours, ref_prom, rtol=1e-5, atol=1e-6)
+
+
+def test_find_peaks_with_prominence(rng):
+    for _ in range(10):
+        x = 10 * _smooth_signal(rng)
+        ref, _ = scipy.signal.find_peaks(x, prominence=4.0)
+        idx, valid, count = peaks.find_peaks(x, capacity=64, min_prominence=4.0)
+        ours = np.asarray(idx)[np.asarray(valid)]
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_top_peaks_within_threshold():
+    # reference semantics: prominence-6dB peaks within threshold of max, top-k desc
+    x = np.zeros(100)
+    for center, height in [(10, 40.0), (30, 38.0), (50, 15.0), (70, 36.0), (90, 39.0)]:
+        x[center - 3 : center + 4] += height * np.hanning(7)
+    idx, vals, valid = peaks.top_peaks_within_threshold(
+        x, max_peaks=3, min_prominence=6.0, threshold_db=20.0
+    )
+    got = sorted(np.asarray(idx)[np.asarray(valid)].tolist())
+    assert got == [10, 30, 90] or got == [10, 90, 30]  # 50 is >20dB down, 70 only 4th
+
+    # descending order by value
+    v = np.asarray(vals)[np.asarray(valid)]
+    assert np.all(np.diff(v) <= 0)
+
+
+def test_best_peak():
+    x = np.array([0.0, 3.0, 1.0, 5.0, 2.0, 4.0, 0.0])
+    idx, val, found = peaks.best_peak(x)
+    assert found and idx == 3 and val == 5.0
+    idx, val, found = peaks.best_peak(np.arange(5.0))
+    assert not bool(found)
+
+
+# --------------------------------------------------------------------------- #
+# CFAR — numpy oracles written from the definitions
+# --------------------------------------------------------------------------- #
+def _oracle_windows_1d(x, w):
+    return np.lib.stride_tricks.sliding_window_view(x, w)
+
+
+def _oracle_ca_1d(x, nt, ng, pfa):
+    w = 2 * (nt + ng) + 1
+    wins = _oracle_windows_1d(x, w)
+    m = np.ones(w, bool)
+    m[nt : nt + 2 * ng + 1] = False
+    means = wins[:, m].mean(axis=1)
+    alpha = 2 * nt * (pfa ** (-1 / (2 * nt)) - 1)
+    th = np.full(len(x), np.inf)
+    th[nt + ng : nt + ng + len(means)] = alpha * means
+    return th
+
+
+def test_ca_1d(rng):
+    x = rng.exponential(1.0, 200)
+    th, noise = cfar.ca_1d(x, num_train=8, num_guard=3, pfa=1e-3)
+    ref = _oracle_ca_1d(x, 8, 3, 1e-3)
+    np.testing.assert_allclose(np.asarray(th), ref, rtol=1e-5)
+
+
+def test_go_so_1d(rng):
+    x = rng.exponential(1.0, 150)
+    nt, ng, pfa = 6, 2, 1e-3
+    w = 2 * (nt + ng) + 1
+    wins = _oracle_windows_1d(x, w)
+    ml = wins[:, :nt].mean(axis=1)
+    mr = wins[:, nt + 2 * ng + 1 :].mean(axis=1)
+    alpha = nt * (pfa ** (-1 / nt) - 1)
+    for greatest, comb in [(True, np.maximum), (False, np.minimum)]:
+        th, _ = cfar.go_so_1d(x, num_train=nt, num_guard=ng, pfa=pfa, greatest=greatest)
+        ref = np.full(len(x), np.inf)
+        ref[nt + ng : nt + ng + len(ml)] = alpha * comb(ml, mr)
+        np.testing.assert_allclose(np.asarray(th), ref, rtol=1e-5)
+
+
+def test_os_1d(rng):
+    x = rng.exponential(1.0, 180)
+    nt, ng, rho, alpha = 5, 3, 0.5, 2.0
+    th, noise = cfar.os_1d(x, num_train=nt, num_guard=ng, rho=rho, alpha=alpha)
+    w = 2 * (nt + ng) + 1
+    wins = _oracle_windows_1d(x, w)
+    train = np.concatenate([wins[:, :nt], wins[:, nt + 2 * ng + 1 :]], axis=1)
+    k = max(1, min(int(rho * 2 * nt), 2 * nt))
+    ref_noise = np.sort(train, axis=1)[:, k - 1]
+    ref = np.full(len(x), np.inf)
+    ref[nt + ng : nt + ng + len(ref_noise)] = alpha * ref_noise
+    np.testing.assert_allclose(np.asarray(th), ref, rtol=1e-5)
+
+
+def test_ca_2d(rng):
+    x = rng.exponential(1.0, (40, 50))
+    nt, ng, pfa = (4, 3), (2, 1), 1e-3
+    th, _ = cfar.ca_2d(x, num_train=nt, num_guard=ng, pfa=pfa)
+    wr, wd = 2 * (nt[0] + ng[0]) + 1, 2 * (nt[1] + ng[1]) + 1
+    wins = np.lib.stride_tricks.sliding_window_view(x, (wr, wd))
+    m = np.ones((wr, wd), bool)
+    m[nt[0] : nt[0] + 2 * ng[0] + 1, nt[1] : nt[1] + 2 * ng[1] + 1] = False
+    n_train = m.sum()
+    means = (wins * m).sum(axis=(2, 3)) / n_train
+    alpha = n_train * (pfa ** (-1 / n_train) - 1)
+    ref = np.full(x.shape, np.inf)
+    er, ed = nt[0] + ng[0], nt[1] + ng[1]
+    ref[er : er + means.shape[0], ed : ed + means.shape[1]] = alpha * means
+    np.testing.assert_allclose(np.asarray(th), ref, rtol=1e-5)
+
+
+def test_os_2d(rng):
+    x = rng.exponential(1.0, (35, 45))
+    nt, ng, rho, alpha = (5, 5), (3, 2), 0.7, 2.0
+    th, _ = cfar.os_2d(x, num_train=nt, num_guard=ng, rho=rho, alpha=alpha)
+    wr, wd = 2 * (nt[0] + ng[0]) + 1, 2 * (nt[1] + ng[1]) + 1
+    wins = np.lib.stride_tricks.sliding_window_view(x, (wr, wd))
+    m = np.ones((wr, wd), bool)
+    m[nt[0] : nt[0] + 2 * ng[0] + 1, nt[1] : nt[1] + 2 * ng[1] + 1] = False
+    train = wins[..., m]
+    n_train = m.sum()
+    k = max(1, min(int(rho * n_train), n_train))
+    ref_noise = np.sort(train, axis=-1)[..., k - 1]
+    ref = np.full(x.shape, np.inf)
+    er, ed = nt[0] + ng[0], nt[1] + ng[1]
+    ref[er : er + ref_noise.shape[0], ed : ed + ref_noise.shape[1]] = alpha * ref_noise
+    np.testing.assert_allclose(np.asarray(th), ref, rtol=1e-5)
+
+
+def test_cfar_detects_planted_target(rng):
+    """Synthetic oracle mirroring the reference's verify_detectors_manual."""
+    noise = rng.exponential(1.0, 120)
+    noise[50] += 30.0
+    for th_fn in (
+        lambda x: cfar.ca_1d(x, num_train=8, num_guard=2, pfa=1e-3)[0],
+        lambda x: cfar.os_1d(x, num_train=8, num_guard=2, rho=0.75, alpha=6.0)[0],
+        lambda x: cfar.go_so_1d(x, num_train=8, num_guard=2, pfa=1e-3, greatest=True)[0],
+        lambda x: cfar.go_so_1d(x, num_train=8, num_guard=2, pfa=1e-3, greatest=False)[0],
+    ):
+        dets = np.flatnonzero(noise > np.asarray(th_fn(noise)))
+        assert 50 in dets
+
+    x2 = rng.exponential(1.0, (64, 64))
+    x2[20, 30] += 40.0
+    th2, _ = cfar.os_2d(x2, num_train=(5, 5), num_guard=(3, 2), rho=0.7, alpha=4.0)
+    r, c = np.where(x2 > np.asarray(th2))
+    assert (20, 30) in set(zip(r.tolist(), c.tolist()))
+
+
+# --------------------------------------------------------------------------- #
+# RANSAC
+# --------------------------------------------------------------------------- #
+def _velocity_scene(rng, n=200, n_out=40, coef=(1.2, -0.7, 0.3)):
+    """Point-cloud-style scene: y = H @ coef with outliers."""
+    h = rng.standard_normal((n, 3))
+    h /= np.linalg.norm(h, axis=1, keepdims=True)
+    y = h @ np.array(coef) + 0.02 * rng.standard_normal(n)
+    out_idx = rng.choice(n, n_out, replace=False)
+    y[out_idx] += rng.uniform(1.0, 3.0, n_out) * rng.choice([-1, 1], n_out)
+    return h, y, np.array(coef)
+
+
+def test_ransac_recovers_coefficients(rng):
+    import jax
+
+    h, y, true_coef = _velocity_scene(rng)
+    valid = np.ones(len(y), bool)
+    res = ransac.ransac_linear(
+        h, y, valid, jax.random.PRNGKey(42),
+        min_samples=10, residual_threshold=0.15, max_trials=20,
+    )
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.coef), true_coef, atol=0.05)
+    assert float(res.r2) > 0.9
+    assert float(res.inlier_fraction) > 0.6
+
+
+def test_ransac_matches_sklearn_contract(rng):
+    from sklearn.linear_model import LinearRegression, RANSACRegressor
+    import jax
+
+    h, y, _ = _velocity_scene(rng, n=150, n_out=30)
+    model = RANSACRegressor(
+        estimator=LinearRegression(fit_intercept=False),
+        residual_threshold=0.15, random_state=42, max_trials=20, min_samples=10,
+    )
+    model.fit(h, y)
+    sk_coef = model.estimator_.coef_
+
+    res = ransac.ransac_linear(
+        h, y, np.ones(len(y), bool), jax.random.PRNGKey(7),
+        min_samples=10, residual_threshold=0.15, max_trials=20,
+    )
+    # different RNG streams, same contract: coefficients agree to inlier noise
+    np.testing.assert_allclose(np.asarray(res.coef), sk_coef, atol=0.05)
+
+
+def test_ransac_masked_and_degenerate(rng):
+    import jax
+
+    h, y, true_coef = _velocity_scene(rng, n=80, n_out=10)
+    # pad with garbage rows that must be ignored
+    h_pad = np.concatenate([h, 100 * np.ones((40, 3))])
+    y_pad = np.concatenate([y, -50 * np.ones(40)])
+    valid = np.concatenate([np.ones(80, bool), np.zeros(40, bool)])
+    res = ransac.ransac_linear(
+        h_pad, y_pad, valid, jax.random.PRNGKey(0),
+        min_samples=10, residual_threshold=0.15, max_trials=20,
+    )
+    np.testing.assert_allclose(np.asarray(res.coef), true_coef, atol=0.08)
+    assert not np.asarray(res.inlier_mask)[80:].any()
+
+    # too few valid points -> graceful zero fallback (reference ValueError path)
+    res = ransac.ransac_linear(
+        h_pad, y_pad, np.zeros(120, bool), jax.random.PRNGKey(0),
+        min_samples=10, residual_threshold=0.15, max_trials=20,
+    )
+    assert not bool(res.ok)
+    np.testing.assert_array_equal(np.asarray(res.coef), 0.0)
