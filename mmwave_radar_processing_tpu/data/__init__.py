@@ -15,6 +15,7 @@ from mmwave_radar_processing_tpu.data.simulator import (
     ArrayGeometry,
     PointTarget,
     Scene,
+    ground_scene,
     simulate_frame,
     simulate_frames,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "ArrayGeometry",
     "PointTarget",
     "Scene",
+    "ground_scene",
     "simulate_frame",
     "simulate_frames",
 ]

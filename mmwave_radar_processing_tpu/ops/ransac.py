@@ -88,12 +88,16 @@ def ransac_linear(
     y = y.astype(jnp.float32)
     validf = valid.astype(jnp.float32)
     n_valid = jnp.sum(validf)
+    # structurally clamp the sample size; ``ok`` already gates the semantics
+    # (fewer valid points than min_samples -> zero fallback, mirroring the
+    # reference's sklearn ValueError path)
+    k_sample = min(min_samples, n)
 
     def one_trial(trial_key):
         # Sample ``min_samples`` distinct valid rows via the Gumbel-top-k trick.
         g = jax.random.gumbel(trial_key, (n,))
         scores = jnp.where(valid, g, -jnp.inf)
-        _, idx = jax.lax.top_k(scores, min_samples)
+        _, idx = jax.lax.top_k(scores, k_sample)
         w = jnp.zeros((n,), jnp.float32).at[idx].set(1.0) * validf
         coef = _masked_lstsq(h, y, w)
         resid = jnp.abs(y - h @ coef)
