@@ -1,0 +1,125 @@
+"""North-star benchmark: radar frames/s/chip for range-Doppler + CFAR + AoA.
+
+Runs the fused point-cloud pipeline (virtual-array reformat -> windowed
+range-Doppler FFT over all 12 virtual channels -> OS-CFAR 2D -> per-detection
+AoA FFTs -> cartesian points) on the flagship 6843 ODS 20 Hz config over a
+batch of simulated frames, on the default JAX device (the real TPU chip under
+the driver; CPU if forced).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference library publishes no benchmark numbers (BASELINE.md);
+``vs_baseline`` is measured against the reference's own numpy pipeline
+(VirtualArrayReformatter + RangeDopplerDetector2D[os_cfar_2d] +
+PointCloudGenerator) timed on this container's CPU: 139.8 frames/s
+(7.2 ms/frame).  Re-measure with ``python bench.py --measure-baseline`` when
+the reference checkout is present.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_CPU_FRAMES_PER_S = 139.8  # measured in-container; see module docstring
+
+CFAR_PARAMS = dict(num_train=(5, 5), num_guard=(3, 2), rho=0.7, alpha=4.0)
+AZ_IDXS, EL_IDXS = (0, 3, 4, 7), (9, 8, 5, 4)
+
+
+def _flagship_config():
+    from mmwave_radar_processing_tpu.config import load_cfg
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "configs", "6843_RadVel_ods_20Hz.cfg")
+    return load_cfg(path, array_geometry="ods", array_direction="down")
+
+
+def measure_reference_baseline(n: int = 40) -> float:
+    """Time the reference numpy pipeline on CPU (requires /root/reference)."""
+    sys.path.insert(0, "/root/reference")
+    from mmwave_radar_processing.config_managers.cfgManager import ConfigManager
+    from mmwave_radar_processing.processors.virtual_array_reformater import (
+        VirtualArrayReformatter,
+    )
+    from mmwave_radar_processing.processors.point_cloud_generator import (
+        PointCloudGenerator,
+    )
+
+    cfg = ConfigManager()
+    cfg.load_cfg(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "configs", "6843_RadVel_ods_20Hz.cfg"), "ods", "down")
+    var = VirtualArrayReformatter(cfg)
+    pcg = PointCloudGenerator(
+        cfg, az_antenna_idxs=list(AZ_IDXS), el_antenna_idxs=list(EL_IDXS),
+        detector_type="range_doppler_detector_2d",
+        detector_params=dict(cfar_type="os_cfar_2d", cfar_params=CFAR_PARAMS),
+    )
+    rng = np.random.default_rng(0)
+    frames = [
+        rng.standard_normal((4, 63, 210)) + 1j * rng.standard_normal((4, 63, 210))
+        for _ in range(8)
+    ]
+    pcg.process(var.process(frames[0]))
+    t0 = time.perf_counter()
+    for i in range(n):
+        pcg.process(var.process(frames[i % 8]))
+    return n / (time.perf_counter() - t0)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=512)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--measure-baseline", action="store_true")
+    args = parser.parse_args()
+
+    if args.measure_baseline:
+        fps = measure_reference_baseline()
+        print(f"reference CPU pipeline: {fps:.2f} frames/s", file=sys.stderr)
+
+    import jax
+
+    from mmwave_radar_processing_tpu.parallel.pipeline import (
+        build_point_cloud_pipeline,
+    )
+
+    cfg = _flagship_config()
+    # MXU backend: split-complex DFT matmuls, no complex dtypes on device
+    fn = build_point_cloud_pipeline(
+        cfg, az_antenna_idxs=AZ_IDXS, el_antenna_idxs=EL_IDXS,
+        cfar_params=CFAR_PARAMS, max_dets=128, backend="mxu",
+    )
+
+    rng = np.random.default_rng(0)
+    shape = (args.batch, cfg.num_rx_antennas, cfg.num_adc_samples,
+             cfg.chirps_per_frame)
+    raw_re = rng.standard_normal(shape).astype(np.float32)
+    raw_im = rng.standard_normal(shape).astype(np.float32)
+    re_dev = jax.device_put(raw_re)
+    im_dev = jax.device_put(raw_im)
+
+    # warmup / compile
+    jax.block_until_ready(fn(re_dev, im_dev))
+
+    best = 0.0
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(re_dev, im_dev))
+        dt = time.perf_counter() - t0
+        best = max(best, args.batch / dt)
+
+    result = {
+        "metric": "radar frames/s/chip (range-Doppler+CFAR+AoA)",
+        "value": round(best, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(best / REFERENCE_CPU_FRAMES_PER_S, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

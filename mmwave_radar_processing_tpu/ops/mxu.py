@@ -1,0 +1,172 @@
+"""Split-complex DFT-as-matmul kernels — the MXU compute core.
+
+Two facts drive this module:
+
+1. The radar pipeline's transform sizes are tiny (63 samples, 70 chirps, 64
+   angle bins).  At these sizes an O(N^2) DFT *matmul* on the MXU beats an
+   O(N log N) FFT: one ``[batch, N] x [N, M]`` contraction saturates the
+   systolic array, the spectral window folds into the matrix for free, and
+   fftshift is a static column permutation of the same constant.
+2. Complex dtypes are not universally supported on TPU runtimes (and complex
+   matmuls lower to four real matmuls anyway), so all kernels here operate on
+   an explicit split representation ``C2(re, im)`` of float32 planes.
+
+The zoom FFT collapses too: a chirp-z transform is just the DTFT evaluated on
+an arbitrary frequency grid, so instead of Bluestein's two FFTs it becomes a
+single rectangular DFT matmul whose (possibly traced) frequencies are computed
+in-graph — exact, simpler, and faster at these sizes.
+
+Numerical note: float32 DFT matmuls agree with ``np.fft`` to ~1e-6 relative
+at N <= 256, well inside the pipeline's parity tolerances (validated in
+tests/test_mxu.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class C2(NamedTuple):
+    """Split complex array: two same-shape float planes."""
+
+    re: jax.Array
+    im: jax.Array
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+
+def from_complex(x) -> C2:
+    """Split a (numpy or jax) complex array into float32 planes."""
+    x = np.asarray(x) if not isinstance(x, jax.Array) else x
+    return C2(
+        jnp.asarray(np.real(x) if isinstance(x, np.ndarray) else jnp.real(x),
+                    jnp.float32),
+        jnp.asarray(np.imag(x) if isinstance(x, np.ndarray) else jnp.imag(x),
+                    jnp.float32),
+    )
+
+
+def to_complex(c: C2) -> np.ndarray:
+    """Host complex64 view (for tests / presentation)."""
+    return np.asarray(c.re) + 1j * np.asarray(c.im)
+
+
+def cmul(a: C2, b: C2) -> C2:
+    return C2(a.re * b.re - a.im * b.im, a.re * b.im + a.im * b.re)
+
+
+def cabs(c: C2) -> jax.Array:
+    return jnp.sqrt(c.re * c.re + c.im * c.im)
+
+
+def cabs2(c: C2) -> jax.Array:
+    """Squared magnitude (cheaper when only ordering matters)."""
+    return c.re * c.re + c.im * c.im
+
+
+def cscale(c: C2, s) -> C2:
+    return C2(c.re * s, c.im * s)
+
+
+def cexp(phase: jax.Array) -> C2:
+    """``exp(j*phase)`` from a real phase array."""
+    return C2(jnp.cos(phase), jnp.sin(phase))
+
+
+# --------------------------------------------------------------------------- #
+# DFT matrices (static constants)
+# --------------------------------------------------------------------------- #
+def dft_factors(
+    n_in: int,
+    n_out: Optional[int] = None,
+    *,
+    shift: bool = False,
+    window: Optional[np.ndarray] = None,
+    inverse: bool = False,
+):
+    """Real (cos, sin) factors of a (rectangular) DFT matrix.
+
+    ``X[k] = sum_{j < n_in} w[j] * x[j] * exp(-2j*pi*k*j/n_out)`` — i.e. a
+    zero-padded ``n_out``-point DFT of ``n_in`` inputs.  ``shift`` permutes the
+    output bins to fftshift order; ``window`` folds a spectral window into the
+    matrix; ``inverse`` builds the conjugate/scaled inverse transform.
+
+    Returns float32 ``(C, S)`` with ``M = C - jS`` (or ``C + jS`` scaled by
+    ``1/n_out`` for the inverse), shaped ``(n_in, n_out)``.
+    """
+    n_out = n_out or n_in
+    j = np.arange(n_in)[:, None]
+    k = np.arange(n_out)[None, :]
+    if shift:
+        k = (k + n_out // 2) % n_out
+    ang = 2 * np.pi * j * k / n_out
+    c, s = np.cos(ang), np.sin(ang)
+    if window is not None:
+        c = c * window[:, None]
+        s = s * window[:, None]
+    if inverse:
+        c, s = c / n_out, -s / n_out
+    return jnp.asarray(c, jnp.float32), jnp.asarray(s, jnp.float32)
+
+
+def dft_apply(x: C2, factors, axis: int = -1) -> C2:
+    """Apply a DFT (cos, sin) factor pair along ``axis`` — two real matmuls.
+
+    With ``M = C - jS``: ``re' = re@C + im@S``, ``im' = im@C - re@S``
+    (or the ``+`` convention for inverse factors, already folded into S).
+    """
+    c, s = factors
+    re = jnp.moveaxis(x.re, axis, -1)
+    im = jnp.moveaxis(x.im, axis, -1)
+    out_re = re @ c + im @ s
+    out_im = im @ c - re @ s
+    return C2(jnp.moveaxis(out_re, -1, axis), jnp.moveaxis(out_im, -1, axis))
+
+
+def zoom_dft_factors_dynamic(
+    f1: jax.Array, f2: jax.Array, *, n: int, m: int, fs: float
+):
+    """Traced-band rectangular DTFT factors for a zoom transform.
+
+    Frequencies ``f_k = f1 + k*(f2-f1)/m`` (scipy ``ZoomFFT`` endpoint=False
+    convention); band edges may be traced scalars — the matrix values are
+    computed in-graph with static shape ``(n, m)``.
+    """
+    jv = jnp.arange(n, dtype=jnp.float32)[:, None]
+    kv = jnp.arange(m, dtype=jnp.float32)[None, :]
+    freqs = f1 + kv * (f2 - f1) / m
+    ang = 2 * jnp.pi * jv * freqs / fs
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+# --------------------------------------------------------------------------- #
+# radar-specific fused transforms
+# --------------------------------------------------------------------------- #
+def range_doppler_factors(ns: int, nc: int):
+    """Windowed range DFT + windowed, fftshifted Doppler DFT constants."""
+    return (
+        dft_factors(ns, window=np.hanning(ns)),
+        dft_factors(nc, window=np.hanning(nc), shift=True),
+    )
+
+
+def range_doppler_map_mxu(cube: C2, rng_factors, dop_factors) -> C2:
+    """``[..., rx, ns, nc]`` split cube -> windowed, Doppler-shifted RD cube.
+
+    Two MXU matmuls replacing window + fft2 + fftshift
+    (reference ``range_doppler_resp.py:95-103``).
+    """
+    x = dft_apply(cube, rng_factors, axis=-2)
+    return dft_apply(x, dop_factors, axis=-1)
+
+
+def aoa_factors(n_antennas: int, num_angle_bins: int, shift: bool):
+    """Zero-padded angle DFT: rectangular ``(n_antennas, num_angle_bins)``."""
+    return dft_factors(n_antennas, num_angle_bins, shift=shift)

@@ -1,0 +1,31 @@
+"""Multi-chip sharding layer: mesh pipelines, halos, beamforming collectives.
+
+The reference is single-process numpy with no parallelism (SURVEY.md §2.13);
+the natural parallel axes of the domain are frames (batch), virtual channels,
+range/Doppler bins, and steering angles.  This package makes them first-class:
+
+- :mod:`~mmwave_radar_processing_tpu.parallel.mesh` — mesh construction and
+  named-sharding helpers.
+- :mod:`~mmwave_radar_processing_tpu.parallel.pipeline` — the fused
+  frame-batched radar pipeline (reformat -> range-Doppler -> CFAR -> AoA ->
+  point cloud) sharded over the ``data`` (frames) axis.
+- :mod:`~mmwave_radar_processing_tpu.parallel.halo_cfar` — ``shard_map`` CFAR
+  with guard/train halo exchange over a sharded range axis (``ppermute``).
+- :mod:`~mmwave_radar_processing_tpu.parallel.sharded_beamform` — synthetic-
+  aperture beamforming with elements sharded over the ``model`` axis and a
+  ``psum`` over partial element sums.
+"""
+
+from mmwave_radar_processing_tpu.parallel.mesh import make_mesh
+from mmwave_radar_processing_tpu.parallel.pipeline import (
+    PointCloudBatch,
+    build_point_cloud_pipeline,
+    shard_pipeline,
+)
+
+__all__ = [
+    "make_mesh",
+    "PointCloudBatch",
+    "build_point_cloud_pipeline",
+    "shard_pipeline",
+]

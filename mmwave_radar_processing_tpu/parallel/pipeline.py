@@ -1,0 +1,217 @@
+"""Fused frame-batched radar pipeline: raw cubes -> point clouds.
+
+This is the throughput path behind the north-star benchmark (radar frames/s
+per chip for range-Doppler + CFAR + AoA): one jitted program that maps a
+batch of raw TI ADC frames to fixed-capacity point clouds, vmapped over the
+frame axis and sharded over the ``data`` mesh axis for multi-chip scaling.
+
+The GUI/controller layers drive the same processors one frame at a time; this
+module exists so offline/production workloads keep the device busy with
+thousands of frames per dispatch instead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mmwave_radar_processing_tpu.config import RadarConfig, grids
+from mmwave_radar_processing_tpu.ops import cfar as cfar_ops, masked, windows
+from mmwave_radar_processing_tpu.processors.point_cloud import (
+    spherical_to_cartesian_flu,
+)
+from mmwave_radar_processing_tpu.processors.range_doppler import range_doppler_map
+from mmwave_radar_processing_tpu.processors.virtual_array import reformat
+
+
+class PointCloudBatch(NamedTuple):
+    points: jax.Array  # (B, K, 4)
+    valid: jax.Array  # (B, K)
+    count: jax.Array  # (B,)
+
+
+def build_point_cloud_pipeline(
+    cfg: RadarConfig,
+    *,
+    az_antenna_idxs: Sequence[int] = (0, 3, 4, 7),
+    el_antenna_idxs: Sequence[int] = (9, 8, 5, 4),
+    cfar_params: Optional[dict] = None,
+    max_dets: int = 128,
+    num_angle_bins: int = 64,
+    shift_az_resp: bool = True,
+    shift_el_resp: bool = False,
+    reformat_input: bool = True,
+    backend: str = "mxu",
+):
+    """Compile a ``[B, rx, ns, nc] -> PointCloudBatch`` pipeline function.
+
+    Stages per frame: virtual-array reformat -> windowed RD FFT (all RX) ->
+    OS-CFAR 2D -> per-detection AoA FFT -> cartesian conversion.  All constants
+    (windows, bins, CFAR geometry, antenna subsets) are baked in at trace time.
+
+    ``backend="mxu"`` (default) uses split-complex DFT-as-matmul kernels — no
+    complex dtypes on device, every transform an MXU matmul — and the returned
+    function takes ``(raw_re, raw_im)`` float32 planes.  ``backend="xla"``
+    uses complex FFT ops and takes one complex array.
+    """
+    if backend == "mxu":
+        return _build_pipeline_mxu(
+            cfg,
+            az_antenna_idxs=az_antenna_idxs,
+            el_antenna_idxs=el_antenna_idxs,
+            cfar_params=cfar_params,
+            max_dets=max_dets,
+            num_angle_bins=num_angle_bins,
+            shift_az_resp=shift_az_resp,
+            shift_el_resp=shift_el_resp,
+            reformat_input=reformat_input,
+        )
+    if backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
+    cfar_params = cfar_params or dict(
+        num_train=(5, 5), num_guard=(3, 2), rho=0.7, alpha=4.0
+    )
+    range_bins = jnp.asarray(grids.range_bins(cfg, variant="eps"))
+    vel_bins = jnp.asarray(grids.vel_bins(cfg))
+    angle_bins = jnp.asarray(grids.angle_bins(num_angle_bins))
+    az_idx = np.asarray(az_antenna_idxs, int)
+    el_idx = np.asarray(el_antenna_idxs, int)
+    num_rx = cfg.num_rx_antennas
+    cpl = cfg.chirp_cfgs_per_loop
+
+    def aoa(raw, idxs, r_i, v_i, shift):
+        snap = raw[idxs][:, r_i, v_i].T  # (K, A)
+        k = snap.shape[0]
+        fft_in = (
+            jnp.zeros((k, num_angle_bins), jnp.complex64)
+            .at[:, : snap.shape[1]]
+            .set(snap)
+        )
+        spec = jnp.fft.fft(fft_in, axis=1)
+        if shift:
+            spec = jnp.fft.fftshift(spec, axes=1)
+        return angle_bins[jnp.argmax(jnp.abs(spec), axis=1)]
+
+    def single_frame(raw_cube):
+        if reformat_input:
+            cube = reformat(raw_cube, num_rx=num_rx, cfgs_per_loop=cpl)
+        else:
+            cube = raw_cube
+        rd = range_doppler_map(cube)
+        mag = jnp.abs(rd[0])
+        thr, _ = cfar_ops.os_2d(mag, **cfar_params)
+        r_i, v_i, valid, count = masked.mask_to_indices_2d(mag > thr, max_dets)
+        az = (
+            aoa(rd, az_idx, r_i, v_i, shift_az_resp)
+            if az_idx.size
+            else jnp.zeros(r_i.shape, jnp.float32)
+        )
+        el = (
+            aoa(rd, el_idx, r_i, v_i, shift_el_resp)
+            if el_idx.size
+            else jnp.zeros(r_i.shape, jnp.float32)
+        )
+        pts = spherical_to_cartesian_flu(range_bins[r_i], az, el, vel_bins[v_i])
+        pts = jnp.where(valid[:, None], pts, 0.0)
+        return PointCloudBatch(pts, valid, count)
+
+    return jax.jit(jax.vmap(single_frame))
+
+
+def _build_pipeline_mxu(
+    cfg: RadarConfig,
+    *,
+    az_antenna_idxs,
+    el_antenna_idxs,
+    cfar_params,
+    max_dets,
+    num_angle_bins,
+    shift_az_resp,
+    shift_el_resp,
+    reformat_input,
+):
+    """Split-complex MXU pipeline: ``(raw_re, raw_im) -> PointCloudBatch``.
+
+    Every spectral transform is a DFT matmul with windows/shifts folded into
+    static constants (:mod:`mmwave_radar_processing_tpu.ops.mxu`); CFAR and
+    compaction are float-only sort/gather kernels.  Bin lookups exploit the
+    affine grids (``bin = idx * res + offset``) instead of gathers.
+    """
+    from mmwave_radar_processing_tpu.ops import mxu
+
+    cfar_params = cfar_params or dict(
+        num_train=(5, 5), num_guard=(3, 2), rho=0.7, alpha=4.0
+    )
+    ns, nc_loops = cfg.num_adc_samples, cfg.frame.loops
+    num_rx, cpl = cfg.num_rx_antennas, cfg.chirp_cfgs_per_loop
+    az_idx = np.asarray(az_antenna_idxs, int)
+    el_idx = np.asarray(el_antenna_idxs, int)
+    angle_bins = jnp.asarray(grids.angle_bins(num_angle_bins))
+
+    rng_factors, dop_factors = mxu.range_doppler_factors(ns, nc_loops)
+    az_factors = mxu.aoa_factors(len(az_idx) or 1, num_angle_bins, shift_az_resp)
+    el_factors = mxu.aoa_factors(len(el_idx) or 1, num_angle_bins, shift_el_resp)
+
+    # affine bin grids (exact: the reference grids are arange-generated)
+    range_res = cfg.range_res_m
+    vel0, vel_res = -cfg.vel_max_m_s, cfg.vel_res_m_s
+
+    def aoa(rd: mxu.C2, idxs, r_i, v_i, factors):
+        snap = mxu.C2(rd.re[idxs][:, r_i, v_i].T, rd.im[idxs][:, r_i, v_i].T)
+        spec = mxu.dft_apply(snap, factors, axis=-1)
+        return angle_bins[jnp.argmax(mxu.cabs2(spec), axis=1)]
+
+    def single_frame(raw_re, raw_im):
+        if reformat_input:
+            cube = mxu.C2(
+                reformat(raw_re, num_rx=num_rx, cfgs_per_loop=cpl),
+                reformat(raw_im, num_rx=num_rx, cfgs_per_loop=cpl),
+            )
+        else:
+            cube = mxu.C2(raw_re, raw_im)
+        rd = mxu.range_doppler_map_mxu(cube, rng_factors, dop_factors)
+        mag = mxu.cabs(mxu.C2(rd.re[0], rd.im[0]))
+        thr, _ = cfar_ops.os_2d(mag, **cfar_params)
+        r_i, v_i, valid, count = masked.mask_to_indices_2d(mag > thr, max_dets)
+        az = (
+            aoa(rd, az_idx, r_i, v_i, az_factors)
+            if az_idx.size
+            else jnp.zeros(r_i.shape, jnp.float32)
+        )
+        el = (
+            aoa(rd, el_idx, r_i, v_i, el_factors)
+            if el_idx.size
+            else jnp.zeros(r_i.shape, jnp.float32)
+        )
+        ranges = r_i.astype(jnp.float32) * range_res
+        vels = vel0 + v_i.astype(jnp.float32) * vel_res
+        pts = spherical_to_cartesian_flu(ranges, az, el, vels)
+        pts = jnp.where(valid[:, None], pts, 0.0)
+        return PointCloudBatch(pts, valid, count)
+
+    return jax.jit(jax.vmap(single_frame))
+
+
+def shard_pipeline(pipeline_fn, mesh: Mesh, axis: str = "data"):
+    """Shard a frame-batched pipeline over ``axis`` of the mesh.
+
+    Frames are embarrassingly parallel: the input batch is sharded on its
+    leading axis, outputs stay sharded, and XLA inserts no cross-chip
+    collectives on the hot path — scaling is bounded by the input feed.
+    """
+    in_sharding = NamedSharding(mesh, P(axis))
+    out_sharding = NamedSharding(mesh, P(axis))
+
+    def wrapped(*args):
+        args = tuple(jax.lax.with_sharding_constraint(a, in_sharding) for a in args)
+        out = pipeline_fn(*args)
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, out_sharding), out
+        )
+
+    return jax.jit(wrapped)

@@ -1,0 +1,132 @@
+"""MXU split-complex core: DFT matmuls match FFTs; MXU pipeline matches XLA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal
+
+from mmwave_radar_processing_tpu.data import PointTarget, Scene, simulate_frames
+from mmwave_radar_processing_tpu.ops import mxu
+
+
+def test_dft_matches_fft(rng):
+    x = (rng.standard_normal((5, 63)) + 1j * rng.standard_normal((5, 63))).astype(
+        np.complex64
+    )
+    out = mxu.dft_apply(mxu.from_complex(x), mxu.dft_factors(63), axis=-1)
+    ref = np.fft.fft(x, axis=-1)
+    np.testing.assert_allclose(mxu.to_complex(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dft_shift_window_pad(rng):
+    x = (rng.standard_normal((4, 70)) + 1j * rng.standard_normal((4, 70))).astype(
+        np.complex64
+    )
+    w = np.hanning(70)
+    out = mxu.dft_apply(
+        mxu.from_complex(x), mxu.dft_factors(70, shift=True, window=w), axis=-1
+    )
+    ref = np.fft.fftshift(np.fft.fft(x * w, axis=-1), axes=-1)
+    np.testing.assert_allclose(mxu.to_complex(out), ref, rtol=1e-4, atol=1e-4)
+
+    # zero-padded rectangular DFT (AoA style): 4 antennas -> 64 bins
+    y = x[:, :4]
+    out = mxu.dft_apply(mxu.from_complex(y), mxu.dft_factors(4, 64, shift=True), axis=-1)
+    pad = np.zeros((4, 64), complex)
+    pad[:, :4] = y
+    ref = np.fft.fftshift(np.fft.fft(pad, axis=-1), axes=-1)
+    np.testing.assert_allclose(mxu.to_complex(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_zoom_dft_matches_scipy(rng):
+    n, m, f1, f2, fs = 70, 70, 3.0, 9.5, 16.3
+    x = (rng.standard_normal((6, n)) + 1j * rng.standard_normal((6, n))).astype(
+        np.complex64
+    )
+    ref = scipy.signal.ZoomFFT(n, [f1, f2], m=m, fs=fs)(x, axis=-1)
+    factors = mxu.zoom_dft_factors_dynamic(
+        jnp.float32(f1), jnp.float32(f2), n=n, m=m, fs=fs
+    )
+    out = mxu.dft_apply(mxu.from_complex(x), factors, axis=-1)
+    np.testing.assert_allclose(mxu.to_complex(out), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_range_doppler_mxu_matches_reference_kernel(flagship_config, rng):
+    from mmwave_radar_processing_tpu.processors.range_doppler import range_doppler_map
+
+    cube = (
+        rng.standard_normal((12, 63, 70)) + 1j * rng.standard_normal((12, 63, 70))
+    ).astype(np.complex64)
+    ref = np.asarray(range_doppler_map(cube))
+    factors = mxu.range_doppler_factors(63, 70)
+    out = mxu.range_doppler_map_mxu(mxu.from_complex(cube), *factors)
+    np.testing.assert_allclose(
+        mxu.to_complex(out), ref, rtol=1e-3, atol=1e-3 * np.abs(ref).max()
+    )
+
+
+def test_mxu_pipeline_matches_xla(flagship_config):
+    from mmwave_radar_processing_tpu.parallel.pipeline import (
+        build_point_cloud_pipeline,
+    )
+
+    scenes = [
+        Scene(targets=[
+            PointTarget(range_m=1.2 + 0.2 * i, azimuth_rad=0.15 * (i - 1),
+                        velocity_m_s=0.3 * (i - 1), rcs=3.0)
+        ])
+        for i in range(4)
+    ]
+    raw = simulate_frames(flagship_config, scenes).astype(np.complex64)
+
+    xla_fn = build_point_cloud_pipeline(flagship_config, max_dets=64, backend="xla")
+    mxu_fn = build_point_cloud_pipeline(flagship_config, max_dets=64, backend="mxu")
+
+    ref = xla_fn(raw)
+    out = mxu_fn(np.real(raw).astype(np.float32), np.imag(raw).astype(np.float32))
+
+    np.testing.assert_array_equal(np.asarray(out.count), np.asarray(ref.count))
+    np.testing.assert_allclose(
+        np.asarray(out.points), np.asarray(ref.points), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sharded_split_beamformer_matches_dense(flagship_config, rng):
+    from mmwave_radar_processing_tpu.parallel import make_mesh
+    from mmwave_radar_processing_tpu.parallel.sharded_beamform import (
+        build_sharded_beamformer,
+    )
+    from mmwave_radar_processing_tpu.processors.synthetic_array import beamform
+    from mmwave_radar_processing_tpu.ops import windows
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs virtual 8-device mesh")
+    mesh = make_mesh({"data": 4, "model": 2})
+    ns, elements, n_angles = 63, 32, 24
+    data = (rng.standard_normal((ns, elements))
+            + 1j * rng.standard_normal((ns, elements))).astype(np.complex64)
+    positions = (rng.standard_normal((3, elements)) * 0.01).astype(np.float32)
+    theta = np.linspace(-0.5, 0.5, n_angles)
+    steering = np.stack([np.cos(theta), np.sin(theta), np.zeros_like(theta)],
+                        axis=1).astype(np.float32)
+    rng_win = jnp.asarray(windows.hanning(ns))
+    elem_win = jnp.asarray(windows.hamming(elements))
+    lam = flagship_config.lambda_m
+
+    dense = np.asarray(beamform(jnp.asarray(data), jnp.asarray(positions),
+                                jnp.asarray(steering), lam, rng_win, elem_win))
+
+    fn = build_sharded_beamformer(mesh, lambda_m=lam, split_complex=True)
+    sh = NamedSharding(mesh, P(None, "model"))
+    with mesh:
+        out_re, out_im = fn(
+            jax.device_put(np.real(data).astype(np.float32), sh),
+            jax.device_put(np.imag(data).astype(np.float32), sh),
+            jax.device_put(positions, sh),
+            jnp.asarray(steering), rng_win, elem_win,
+        )
+    out = np.asarray(out_re) + 1j * np.asarray(out_im)
+    np.testing.assert_allclose(out, dense, rtol=1e-3,
+                               atol=1e-3 * np.abs(dense).max())
