@@ -176,16 +176,31 @@ def ground_scene(
     rng: np.random.Generator | None = None,
     noise_sigma: float = 0.05,
     max_cone_deg: float = 55.0,
+    nadir_rcs: float = 6.0,
 ) -> Scene:
     """Down-facing UAV view: ground patches on a cone below the sensor.
 
     Each patch at (az, el-from-boresight) has radial velocity
     ``-u . v_ego`` — the geometry the ego-velocity estimators invert.
     The radar x-axis points down (array_direction="down" convention).
+
+    Real ground returns a strong specular nadir echo at exactly the altitude —
+    that is what the altimeter's prominence-gated peak tracking locks onto —
+    so a bright boresight target of RCS ``nadir_rcs`` is included (set 0 to
+    disable).
     """
     rng = rng or np.random.default_rng(0)
     targets = []
     vx, vy, vz = ego_vel
+    if nadir_rcs > 0:
+        targets.append(
+            PointTarget(
+                range_m=float(altitude_m),
+                velocity_m_s=-float(vx),  # boresight recession
+                rcs=float(nadir_rcs),
+                phase_rad=float(rng.uniform(0, 2 * np.pi)),
+            )
+        )
     for _ in range(num_patches):
         cone = np.deg2rad(rng.uniform(0.0, max_cone_deg))
         roll = rng.uniform(0, 2 * np.pi)
