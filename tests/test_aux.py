@@ -1,0 +1,96 @@
+"""Aux subsystems: profiling counters, checkpoint/resume, platform guard."""
+
+import os
+
+import numpy as np
+
+from mmwave_radar_processing_tpu.processors.altimeter import Altimeter, AltimeterState
+from mmwave_radar_processing_tpu.processors.micro_doppler import MicroDopplerProcessor
+from mmwave_radar_processing_tpu.processors.synthetic_array import (
+    SyntheticArrayBeamformerProcessor,
+)
+from mmwave_radar_processing_tpu.utils.checkpoint import (
+    PipelineCheckpointer,
+    load_state,
+    save_state,
+)
+from mmwave_radar_processing_tpu.utils.profiling import StageTimer
+
+
+def test_stage_timer():
+    timer = StageTimer()
+    with timer.stage("fft", items=64) as sink:
+        sink(np.ones(8))
+    with timer.stage("fft", items=64) as sink:
+        sink(np.ones(8))
+    with timer.stage("cfar", items=64) as sink:
+        sink(None)
+    report = timer.report()
+    assert "fft" in report and "cfar" in report
+    assert timer.counts["fft"] == 2
+    assert timer.items["fft"] == 128
+
+
+def test_checkpoint_roundtrip(tmp_path, flagship_config):
+    md = MicroDopplerProcessor(flagship_config, num_frames_history=5)
+    alt = Altimeter(flagship_config, min_altitude_m=0.25,
+                    zoom_search_region_m=0.2, altitude_search_limit_m=0.4)
+    sa = SyntheticArrayBeamformerProcessor(flagship_config, num_frames=2)
+
+    states = {
+        "micro_doppler": np.asarray(md.init_state()) + 1.5,
+        "altimeter": AltimeterState(np.float32(0.77)),
+        "synthetic": sa.init_state()._replace(
+            adc_history=np.full((2, 63, 70), 1 + 2j, np.complex64)
+        ),
+    }
+    path = str(tmp_path / "state.npz")
+    save_state(path, states, metadata={"frame_idx": 42})
+
+    like = {
+        "micro_doppler": md.init_state(),
+        "altimeter": alt.init_state(),
+        "synthetic": sa.init_state(),
+    }
+    restored, meta = load_state(path, like)
+    assert meta["frame_idx"] == 42
+    np.testing.assert_allclose(np.asarray(restored["micro_doppler"]),
+                               np.asarray(states["micro_doppler"]))
+    np.testing.assert_allclose(
+        float(restored["altimeter"].altitude_measured_m), 0.77, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored["synthetic"].adc_history),
+        np.asarray(states["synthetic"].adc_history),
+    )
+
+
+def test_pipeline_checkpointer(tmp_path, flagship_config):
+    alt = Altimeter(flagship_config, min_altitude_m=0.25,
+                    zoom_search_region_m=0.2, altitude_search_limit_m=0.4)
+    cp = PipelineCheckpointer(str(tmp_path / "ckpt"), every_n_frames=10)
+
+    states = {"altimeter": AltimeterState(np.float32(1.23))}
+    assert not cp.maybe_save(5, states)
+    assert cp.maybe_save(10, states)
+
+    like = {"altimeter": alt.init_state()}
+    restored, frame = cp.restore(like)
+    assert frame == 10
+    np.testing.assert_allclose(
+        float(restored["altimeter"].altitude_measured_m), 1.23, rtol=1e-6
+    )
+
+    # no checkpoint -> passthrough
+    cp2 = PipelineCheckpointer(str(tmp_path / "empty"))
+    passthrough, frame = cp2.restore(like)
+    assert frame == 0
+    assert passthrough is like
+
+
+def test_platform_guard_static():
+    from mmwave_radar_processing_tpu.utils import platform as plat
+
+    # on the CPU test platform this must report support and not switch
+    assert plat.platform_supports_complex()
+    assert plat.ensure_complex_support() == "cpu"
