@@ -52,6 +52,24 @@ def _windows_2d(x: jax.Array, win_r: int, win_d: int) -> jax.Array:
     return x[..., ridx[:, None, :, None], didx[None, :, None, :]]
 
 
+def _train_stack_2d(x: jax.Array, num_train, num_guard) -> jax.Array:
+    """(R', D', n_train) training cells via static slice-stacking.
+
+    Generic gathers are slow on TPU; each training offset is instead a cheap
+    contiguous static slice of the map, stacked along a new trailing axis.
+    """
+    win_r = 2 * (num_train[0] + num_guard[0]) + 1
+    win_d = 2 * (num_train[1] + num_guard[1]) + 1
+    r_out = x.shape[-2] - win_r + 1
+    d_out = x.shape[-1] - win_d + 1
+    mask = _train_mask_2d(num_train, num_guard)
+    slabs = [
+        x[..., i : i + r_out, j : j + d_out]
+        for i, j in np.argwhere(mask)
+    ]
+    return jnp.stack(slabs, axis=-1)
+
+
 def _pad_valid_1d(computed: jax.Array, edge: int, fill) -> jax.Array:
     return jnp.pad(computed, ((edge, edge),), constant_values=fill)
 
@@ -162,21 +180,51 @@ def ca_2d(x: jax.Array, *, num_train, num_guard, pfa: float):
     )
 
 
-@partial(jax.jit, static_argnames=("num_train", "num_guard", "rho", "alpha"))
-def os_2d(x: jax.Array, *, num_train, num_guard, rho: float, alpha: float):
-    """OS-CFAR thresholds for a 2D map (rank statistic via sort)."""
+def _rank_reduce(train: jax.Array, k_rank: int, method: str) -> jax.Array:
+    """k-th smallest along the last axis, by sort or the Pallas bitonic kernel.
+
+    ``method="auto"`` picks the Pallas kernel on TPU backends (XLA's generic
+    sort round-trips HBM every pass and dominates the fused pipeline
+    otherwise) and the plain sort elsewhere.
+    """
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "sort"
+    if method == "sort":
+        return jnp.sort(train, axis=-1)[..., k_rank - 1]
+    from mmwave_radar_processing_tpu.ops.pallas.rank_select import kth_smallest
+
+    flat = train.reshape(-1, train.shape[-1])
+    out = kth_smallest(flat, k_rank, interpret=jax.default_backend() == "cpu")
+    return out.reshape(train.shape[:-1])
+
+
+@partial(jax.jit, static_argnames=("num_train", "num_guard", "rho", "alpha", "method"))
+def os_2d(
+    x: jax.Array, *, num_train, num_guard, rho: float, alpha: float,
+    method: str = "auto",
+):
+    """OS-CFAR thresholds for a 2D map (rank statistic via sort or Pallas)."""
     edge_r = num_train[0] + num_guard[0]
     edge_d = num_train[1] + num_guard[1]
     win_r, win_d = 2 * edge_r + 1, 2 * edge_d + 1
     if x.shape[-2] < win_r or x.shape[-1] < win_d:
         return jnp.full_like(x, jnp.inf), jnp.zeros_like(x)
-    windows = _windows_2d(x, win_r, win_d)
-    mask = _train_mask_2d(num_train, num_guard)
-    n_train = int(mask.sum())
-    flat = windows.reshape(*windows.shape[:-2], -1)
-    train = flat[..., np.flatnonzero(mask.reshape(-1))]
-    k_idx = os_rank(rho, n_train) - 1
-    noise = jnp.sort(train, axis=-1)[..., k_idx]
+    n_train = int(_train_mask_2d(num_train, num_guard).sum())
+    k_rank = os_rank(rho, n_train)
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "sort"
+    if method == "pallas":
+        from mmwave_radar_processing_tpu.ops.pallas.os_cfar import (
+            os_cfar_2d_noise_fused,
+        )
+
+        noise = os_cfar_2d_noise_fused(
+            x, num_train=num_train, num_guard=num_guard, k_rank=k_rank,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        train = _train_stack_2d(x, num_train, num_guard)
+        noise = _rank_reduce(train, k_rank, "sort")
     return (
         _pad_valid_2d(alpha * noise, edge_r, edge_d, jnp.inf),
         _pad_valid_2d(noise, edge_r, edge_d, 0.0),

@@ -21,6 +21,8 @@ from mmwave_radar_processing_tpu.plotting.analysis_plotter import AnalysisPlotte
 from mmwave_radar_processing_tpu.plotting.movie_generator import (
     MovieGenerator,
     MmWaveDataMovieGenerator,
+    OdometryMovieGenerator,
+    SyntheticArrayMovieGenerator,
 )
 
 __all__ = [
@@ -30,4 +32,6 @@ __all__ = [
     "AnalysisPlotter",
     "MovieGenerator",
     "MmWaveDataMovieGenerator",
+    "OdometryMovieGenerator",
+    "SyntheticArrayMovieGenerator",
 ]

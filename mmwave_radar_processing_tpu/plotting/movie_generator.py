@@ -163,3 +163,110 @@ class MmWaveDataMovieGenerator(MovieGenerator):
         self.generate_movie_frames(n)
         self.save_movie(out_path)
         self.cleanup()
+
+
+class OdometryMovieGenerator(MovieGenerator):
+    """Altimeter + velocity dashboard movie (reference ``movies_odometry.py``).
+
+    Per frame: altimeter profile with the tracked altitude, the altitude
+    history vs ground truth, and per-axis velocity panels.
+    """
+
+    def __init__(self, config: RadarConfig, dataset, altimeter, plotter,
+                 reformatter=None, velocity_estimator=None,
+                 point_cloud_generator=None, **kwargs):
+        super().__init__(**kwargs)
+        self.config = config
+        self.dataset = dataset
+        self.altimeter = altimeter
+        self.plotter = plotter
+        self.reformatter = reformatter
+        self.velocity_estimator = velocity_estimator
+        self.point_cloud_generator = point_cloud_generator
+        self.alt_history = []
+        self.vel_history = []
+        self.gt_vel_history = []
+
+    def generate_movie_frame(self, idx: int):
+        adc = self.dataset.get_radar_adc_data(idx)
+        if self.reformatter is not None:
+            adc = np.asarray(self.reformatter.process(adc))
+        altitude = float(self.altimeter.process(adc))
+        self.alt_history.append(altitude)
+
+        gt_vel = np.zeros(3)
+        if getattr(self.dataset, "vehicle_odom_enabled", False):
+            gt_vel = np.mean(self.dataset.get_vehicle_odom_data(idx)[:, 8:11], axis=0)
+        if self.velocity_estimator is not None and self.point_cloud_generator is not None:
+            pts = self.point_cloud_generator.process(adc)
+            vel = np.asarray(self.velocity_estimator.process(points=pts))
+        else:
+            vel = np.zeros(3)
+        self.vel_history.append(vel)
+        self.gt_vel_history.append(gt_vel)
+
+        fig = plt.figure(figsize=(12, 8))
+        axes = fig.subplots(2, 2)
+        self.plotter.plot_altimeter_profiles(
+            np.asarray(self.altimeter.coarse_fft_data), self.altimeter.range_bins,
+            altitude_m=altitude, ax=axes[0, 0],
+        )
+        self.plotter.plot_altitude_history(
+            self.alt_history, ax=axes[0, 1],
+            frame_period_s=self.config.frame_period_s,
+        )
+        est = np.asarray(self.vel_history)
+        gt = np.asarray(self.gt_vel_history)
+        axes[1, 0].plot(est[:, 0], label="est vx")
+        axes[1, 0].plot(gt[:, 0], "--", label="gt vx")
+        axes[1, 0].legend(fontsize=8)
+        axes[1, 1].plot(np.linalg.norm(est - gt, axis=1))
+        axes[1, 1].set_title("velocity |error|", fontsize=9)
+        fig.tight_layout()
+        return fig
+
+
+class SyntheticArrayMovieGenerator(MovieGenerator):
+    """Synthetic-aperture dashboard movie
+    (reference ``movies_synthetic_array_data*.py``): feeds the beamformer the
+    mean vehicle velocity per frame and renders geometry / beamformed slice /
+    cartesian image / array pattern."""
+
+    def __init__(self, config: RadarConfig, dataset, processor, plotter,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.config = config
+        self.dataset = dataset
+        self.processor = processor
+        self.plotter = plotter
+
+    def _vehicle_vel(self, idx: int) -> np.ndarray:
+        if getattr(self.dataset, "vehicle_vel_enabled", False):
+            vel = np.asarray(self.dataset.get_vehicle_vel_data(idx))
+            return np.mean(np.atleast_2d(vel), axis=0)[:3]
+        if getattr(self.dataset, "vehicle_odom_enabled", False):
+            return np.mean(self.dataset.get_vehicle_odom_data(idx)[:, 8:11], axis=0)
+        return np.zeros(3)
+
+    def generate_movie_frame(self, idx: int):
+        adc = self.dataset.get_radar_adc_data(idx)
+        vel = self._vehicle_vel(idx)
+        resp = self.processor.process(adc, current_vel=vel)
+
+        lidar = None
+        if getattr(self.dataset, "lidar_enabled", False):
+            lidar = self.dataset.get_lidar_point_cloud_raw(idx)
+
+        if resp.size == 0:
+            fig, ax = plt.subplots(figsize=(12, 8))
+            ax.text(0.5, 0.5,
+                    f"frame {idx}: velocity gate not satisfied\nvel={np.round(vel, 3)}",
+                    ha="center", va="center")
+            ax.axis("off")
+            return fig
+        pattern = self.processor.compute_synthetic_array_pattern(
+            self.processor.array_geometry
+        )
+        return self.plotter.plot_compilation(
+            self.processor, resp, pattern=pattern, lidar_points=lidar
+        )

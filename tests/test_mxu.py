@@ -130,3 +130,22 @@ def test_sharded_split_beamformer_matches_dense(flagship_config, rng):
     out = np.asarray(out_re) + 1j * np.asarray(out_im)
     np.testing.assert_allclose(out, dense, rtol=1e-3,
                                atol=1e-3 * np.abs(dense).max())
+
+
+def test_pallas_rank_select_matches_sort(rng):
+    """Bitonic Pallas kernel (interpret mode on CPU) == sort rank statistic."""
+    from mmwave_radar_processing_tpu.ops import cfar as cfar_ops
+    from mmwave_radar_processing_tpu.ops.pallas.rank_select import kth_smallest
+
+    x = rng.exponential(1.0, (500, 152)).astype(np.float32)
+    for k in (1, 77, 106, 152):
+        out = np.asarray(kth_smallest(x, k, interpret=True))
+        ref = np.sort(x, axis=-1)[:, k - 1]
+        np.testing.assert_array_equal(out, ref)
+
+    # full threshold map: pallas method == sort method
+    m = rng.exponential(1.0, (63, 70)).astype(np.float32)
+    params = dict(num_train=(5, 5), num_guard=(3, 2), rho=0.7, alpha=4.0)
+    thr_sort, _ = cfar_ops.os_2d(m, method="sort", **params)
+    thr_pal, _ = cfar_ops.os_2d(m, method="pallas", **params)
+    np.testing.assert_array_equal(np.asarray(thr_pal), np.asarray(thr_sort))
