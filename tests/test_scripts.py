@@ -1,0 +1,95 @@
+"""CLI scripts: end-to-end smoke tests over a tiny simulated dataset."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _run(args, timeout=420):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def sim_dataset(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("scripts") / "ds")
+    r = _run([
+        "scripts/simulate_dataset.py", "--out", out, "--frames", "12",
+        "--vx", "0.4", "--altitude", "1.0", "--ramp-frames", "6",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    return out
+
+
+def test_simulate_dataset_layout(sim_dataset):
+    radar = os.path.join(sim_dataset, "radar_0_adc")
+    odom = os.path.join(sim_dataset, "vehicle_odom")
+    assert len(os.listdir(radar)) == 12
+    assert len(os.listdir(odom)) == 12
+    frame = np.load(os.path.join(radar, sorted(os.listdir(radar))[0]))
+    assert frame.shape == (4, 63, 210) and np.iscomplexobj(frame)
+
+
+def test_vel_estimation_script(sim_dataset):
+    r = _run([
+        "scripts/test_vel_estimation.py",
+        "--config", "analyzer_configs/velocity_analysis_config.yaml",
+        "--dataset", sim_dataset,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "velocity error report" in r.stdout
+    assert "RMSE" in r.stdout
+
+
+def test_view_radar_data_script(sim_dataset, tmp_path):
+    out = str(tmp_path / "frame.png")
+    r = _run([
+        "scripts/view_radar_data.py", "--dataset", sim_dataset,
+        "--frame", "5", "--out", out,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.getsize(out) > 10000
+
+
+def test_dbs_demo_script(tmp_path):
+    out = str(tmp_path / "dbs.png")
+    r = _run(["scripts/doppler_beam_sharpening_demo.py", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.getsize(out) > 10000
+
+
+def test_viewer_headless_export(sim_dataset, tmp_path):
+    import yaml
+
+    ds_yaml = str(tmp_path / "ds.yaml")
+    with open(ds_yaml, "w") as f:
+        yaml.safe_dump(
+            {
+                "dataset": {"dataset_path": sim_dataset},
+                "config": {
+                    "name": os.path.join(REPO, "configs", "6843_RadVel_ods_20Hz.cfg"),
+                    "array_geometry": "ods",
+                    "array_direction": "down",
+                },
+            },
+            f,
+        )
+    movie = str(tmp_path / "viewer.mp4")
+    r = _run([
+        "scripts/launch_mmwave_viewer.py",
+        "--dataset-params", ds_yaml,
+        "--processor-params", "gui_configs/processor_params.yaml",
+        "--export-movie", movie, "--frames", "3",
+        "--views", "range_doppler_resp", "range_resp",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    produced = [p for p in (movie, movie[:-4] + ".gif") if os.path.exists(p)]
+    assert produced and os.path.getsize(produced[0]) > 1000
