@@ -72,7 +72,7 @@ def measure_reference_baseline(n: int = 40) -> float:
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=512)
+    parser.add_argument("--batch", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--measure-baseline", action="store_true")
     args = parser.parse_args()
@@ -82,6 +82,14 @@ def main():
         print(f"reference CPU pipeline: {fps:.2f} frames/s", file=sys.stderr)
 
     import jax
+
+    # Remote-compile TPU tunnels take minutes per program; the persistent
+    # cache makes repeat runs (and the driver's run) start in seconds.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from mmwave_radar_processing_tpu.parallel.pipeline import (
         build_point_cloud_pipeline,

@@ -56,7 +56,11 @@ def _train_stack_2d(x: jax.Array, num_train, num_guard) -> jax.Array:
     """(R', D', n_train) training cells via static slice-stacking.
 
     Generic gathers are slow on TPU; each training offset is instead a cheap
-    contiguous static slice of the map, stacked along a new trailing axis.
+    contiguous static slice of the map, stacked on a trailing axis.  NOTE:
+    this formulation relies on operator fusion inside a larger jitted
+    pipeline; compiled standalone at large batch, XLA materializes every
+    padded slab copy before the concatenate and compilation OOMs.  The fused
+    Pallas kernel (method="pallas") avoids the expansion entirely.
     """
     win_r = 2 * (num_train[0] + num_guard[0]) + 1
     win_d = 2 * (num_train[1] + num_guard[1]) + 1

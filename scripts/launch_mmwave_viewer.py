@@ -20,8 +20,10 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from mmwave_radar_processing_tpu.utils.platform import ensure_complex_support
+from mmwave_radar_processing_tpu.utils.env import load_env
 
 ensure_complex_support()
+load_env()
 
 from mmwave_radar_processing_tpu.utils.logger import setup_logger
 from mmwave_radar_processing_tpu.visualization import (

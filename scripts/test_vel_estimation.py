@@ -24,8 +24,10 @@ import yaml
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from mmwave_radar_processing_tpu.utils.platform import ensure_complex_support
+from mmwave_radar_processing_tpu.utils.env import load_env, resolve_dir
 
 ensure_complex_support()
+load_env()
 
 from mmwave_radar_processing_tpu.analysis import VelocityAnalyzer
 from mmwave_radar_processing_tpu.config import load_cfg
@@ -53,10 +55,13 @@ def main():
         params = yaml.safe_load(f)
 
     root = os.path.join(os.path.dirname(os.path.abspath(args.config)), "..")
-    dataset_path = args.dataset or os.path.join(
-        params["dataset"]["path"], params["dataset"]["name"]
+    dataset_path = args.dataset or resolve_dir(
+        os.path.join(params["dataset"]["path"], params["dataset"]["name"]),
+        "DATASET_DIRECTORY",
     )
     radar_cfg_file = args.radar_config or params["radar"]["config_file"]
+    if not os.path.isabs(radar_cfg_file):
+        radar_cfg_file = resolve_dir(radar_cfg_file, "CONFIG_DIRECTORY")
     if not os.path.isabs(radar_cfg_file):
         radar_cfg_file = os.path.join(root, "configs", radar_cfg_file)
 

@@ -94,3 +94,20 @@ def test_platform_guard_static():
     # on the CPU test platform this must report support and not switch
     assert plat.platform_supports_complex()
     assert plat.ensure_complex_support() == "cpu"
+
+
+def test_env_convention(tmp_path, monkeypatch):
+    from mmwave_radar_processing_tpu.utils import env as env_mod
+
+    envfile = tmp_path / ".env"
+    envfile.write_text(
+        "# roots\nDATASET_DIRECTORY=/data/sets\nCONFIG_DIRECTORY='/data/cfgs'\n"
+    )
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("DATASET_DIRECTORY", raising=False)
+    monkeypatch.delenv("CONFIG_DIRECTORY", raising=False)
+    parsed = env_mod.load_env()
+    assert parsed["DATASET_DIRECTORY"] == "/data/sets"
+    assert os.environ["CONFIG_DIRECTORY"] == "/data/cfgs"
+    assert env_mod.resolve_dir("rec1", "DATASET_DIRECTORY") == "/data/sets/rec1"
+    assert env_mod.resolve_dir("/abs/x", "DATASET_DIRECTORY") == "/abs/x"

@@ -11,7 +11,10 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _run(args, timeout=420):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # PALLAS_AXON_POOL_IPS="" keeps the container's sitecustomize from
+    # registering the TPU tunnel plugin in the subprocess — the scripts run on
+    # CPU and must not contend with a concurrently running TPU benchmark.
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     return subprocess.run(
         [sys.executable] + args, cwd=REPO, env=env,
         capture_output=True, text=True, timeout=timeout,

@@ -172,3 +172,26 @@ def test_video_export(controller, tmp_path):
     assert n == 3
     produced = [p for p in (out, out[:-4] + ".gif") if os.path.exists(p)]
     assert produced and os.path.getsize(produced[0]) > 1000
+
+
+def test_view_panel_model():
+    from mmwave_radar_processing_tpu.visualization.view_panel import ViewPanelModel
+
+    events = []
+    panel = ViewPanelModel(num_cells=4, on_assign=lambda c, k: events.append((c, k)))
+
+    assert panel.select(0, "range_doppler") is None
+    payload = {"data": 1}
+    assert panel.handle_view_update("range_doppler", payload) == [0]
+
+    # cached payload returned on (re)selection elsewhere + uniqueness enforced
+    got = panel.select(2, "range_doppler")
+    assert got is payload
+    assert panel.assignments[0] is None and panel.assignments[2] == "range_doppler"
+    assert (0, None) in events
+
+    # hidden view caches payloads and re-renders on reveal
+    panel.handle_view_update("altitude", {"data": 2})
+    got = panel.select(1, "altitude")
+    assert got == {"data": 2}
+    assert panel.cell_of("altitude") == 1
