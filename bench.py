@@ -72,8 +72,12 @@ def measure_reference_baseline(n: int = 40) -> float:
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=1024)
+    parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--metric", choices=["pointcloud", "velocity"],
+                        default="pointcloud",
+                        help="pointcloud: RD+CFAR+AoA north star; "
+                             "velocity: fused RadVel ego-velocity pipeline")
     parser.add_argument("--measure-baseline", action="store_true")
     args = parser.parse_args()
 
@@ -96,32 +100,42 @@ def main():
     )
 
     cfg = _flagship_config()
-    # MXU backend: split-complex DFT matmuls, no complex dtypes on device
-    fn = build_point_cloud_pipeline(
-        cfg, az_antenna_idxs=AZ_IDXS, el_antenna_idxs=EL_IDXS,
-        cfar_params=CFAR_PARAMS, max_dets=128, backend="mxu",
-    )
-
     rng = np.random.default_rng(0)
     shape = (args.batch, cfg.num_rx_antennas, cfg.num_adc_samples,
              cfg.chirps_per_frame)
-    raw_re = rng.standard_normal(shape).astype(np.float32)
-    raw_im = rng.standard_normal(shape).astype(np.float32)
-    re_dev = jax.device_put(raw_re)
-    im_dev = jax.device_put(raw_im)
+    raw_re = jax.device_put(rng.standard_normal(shape).astype(np.float32))
+    raw_im = jax.device_put(rng.standard_normal(shape).astype(np.float32))
+
+    # MXU backend: split-complex DFT matmuls, no complex dtypes on device
+    if args.metric == "pointcloud":
+        fn = build_point_cloud_pipeline(
+            cfg, az_antenna_idxs=AZ_IDXS, el_antenna_idxs=EL_IDXS,
+            cfar_params=CFAR_PARAMS, max_dets=128, backend="mxu",
+        )
+        bench_args = (raw_re, raw_im)
+        metric_name = "radar frames/s/chip (range-Doppler+CFAR+AoA)"
+    else:
+        from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
+            build_velocity_pipeline,
+        )
+
+        fn = build_velocity_pipeline(cfg)
+        altitudes = jax.device_put(np.full(args.batch, 1.2, np.float32))
+        bench_args = (raw_re, raw_im, altitudes)
+        metric_name = "radar frames/s/chip (fused RadVel ego-velocity)"
 
     # warmup / compile
-    jax.block_until_ready(fn(re_dev, im_dev))
+    jax.block_until_ready(fn(*bench_args))
 
     best = 0.0
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(re_dev, im_dev))
+        jax.block_until_ready(fn(*bench_args))
         dt = time.perf_counter() - t0
         best = max(best, args.batch / dt)
 
     result = {
-        "metric": "radar frames/s/chip (range-Doppler+CFAR+AoA)",
+        "metric": metric_name,
         "value": round(best, 1),
         "unit": "frames/s",
         "vs_baseline": round(best / REFERENCE_CPU_FRAMES_PER_S, 2),

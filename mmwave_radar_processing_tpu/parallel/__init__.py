@@ -22,10 +22,16 @@ from mmwave_radar_processing_tpu.parallel.pipeline import (
     build_point_cloud_pipeline,
     shard_pipeline,
 )
+from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
+    VelocityBatch,
+    build_velocity_pipeline,
+)
 
 __all__ = [
     "make_mesh",
     "PointCloudBatch",
     "build_point_cloud_pipeline",
     "shard_pipeline",
+    "VelocityBatch",
+    "build_velocity_pipeline",
 ]

@@ -71,6 +71,43 @@ def beamform(
     return jnp.fft.fft(beamformed * range_window[:, None], axis=0)
 
 
+def velocity_gate(
+    vel_history: jax.Array, min_vel, max_vel, max_vel_stdev
+) -> jax.Array:
+    """Velocity-consistency gate (pure; reference ``_update_vel_history`` :332-375).
+
+    All history rows within |bounds|, per-axis stdev under threshold, and all
+    pairwise direction cosines > 0.95.
+    """
+    within = jnp.all(
+        (jnp.asarray(min_vel) <= jnp.abs(vel_history))
+        & (jnp.abs(vel_history) <= jnp.asarray(max_vel))
+    )
+    stdev_ok = jnp.all(jnp.std(vel_history, axis=0) <= jnp.asarray(max_vel_stdev))
+    dirs = vel_history / (
+        jnp.linalg.norm(vel_history, axis=1, keepdims=True) + 1e-6
+    )
+    direction_ok = jnp.all(dirs @ dirs.T > 0.95)
+    return within & stdev_ok & direction_ok
+
+
+def chained_geometry(
+    vel_history: jax.Array, chirp_times_s: jax.Array, frame_dt_s: float
+) -> jax.Array:
+    """Backward-chained per-frame synthetic element positions ``(F, 3, C)``.
+
+    Pure function shared by the object API and the scan pipeline
+    (reference ``_update_array_geometries`` :377-471).
+    """
+    deltas = -2.0 * vel_history * frame_dt_s  # (F, 3)
+    suffix = jnp.flip(jnp.cumsum(jnp.flip(deltas, 0), axis=0), 0)
+    poses = jnp.concatenate([suffix[1:], jnp.zeros((1, 3))], axis=0)
+    return (
+        2.0 * chirp_times_s[None, None, :] * vel_history[:, :, None]
+        + poses[:, :, None]
+    )
+
+
 @jax.jit
 def array_factor_pattern(
     positions: jax.Array, steering: jax.Array, lambda_m: float
@@ -217,16 +254,8 @@ class SyntheticArrayBeamformerProcessor(Processor):
     # geometry ----------------------------------------------------------- #
     def update_vel_history(self, vel_history: jax.Array) -> jax.Array:
         """Velocity-consistency gate (reference ``_update_vel_history`` :332-375)."""
-        within = jnp.all(
-            (jnp.asarray(self.min_vel) <= jnp.abs(vel_history))
-            & (jnp.abs(vel_history) <= jnp.asarray(self.max_vel))
-        )
-        stdev_ok = jnp.all(jnp.std(vel_history, axis=0) <= jnp.asarray(self.max_vel_stdev))
-        dirs = vel_history / (
-            jnp.linalg.norm(vel_history, axis=1, keepdims=True) + 1e-6
-        )
-        direction_ok = jnp.all(dirs @ dirs.T > 0.95)
-        return within & stdev_ok & direction_ok
+        return velocity_gate(vel_history, self.min_vel, self.max_vel,
+                             self.max_vel_stdev)
 
     def compute_array_geometry(self, vel_history: jax.Array) -> jax.Array:
         """Backward-chained per-frame element positions ``(F, 3, C)``.
@@ -235,18 +264,8 @@ class SyntheticArrayBeamformerProcessor(Processor):
         chain backward from the newest frame at the origin:
         ``pose_{f-1} = pose_f - 2 * v_f * T_frame`` (reference :377-471).
         """
-        t = jnp.asarray(self.chirp_start_times_us * 1e-6, jnp.float32)  # (C,)
-        frame_dt = self.frame_period_ms * 1e-3
-        # pose_f for f = F-1 (newest) .. 0; newest pose = 0
-        # pose_{f-1} = pose_f + 2*v_f*(-frame_dt)
-        deltas = -2.0 * vel_history * frame_dt  # (F, 3): step applied going back
-        # poses[f] = sum_{g > f} deltas[g]; newest frame (f = F-1) at origin.
-        suffix = jnp.flip(jnp.cumsum(jnp.flip(deltas, 0), axis=0), 0)
-        poses = jnp.concatenate([suffix[1:], jnp.zeros((1, 3))], axis=0)
-        return (
-            2.0 * t[None, None, :] * vel_history[:, :, None]
-            + poses[:, :, None]
-        )
+        t = jnp.asarray(self.chirp_start_times_us * 1e-6, jnp.float32)
+        return chained_geometry(vel_history, t, self.frame_period_ms * 1e-3)
 
     # beamforming --------------------------------------------------------- #
     def _flatten(self, state: SyntheticArrayState, geometry: jax.Array):

@@ -104,10 +104,14 @@ def test_env_convention(tmp_path, monkeypatch):
         "# roots\nDATASET_DIRECTORY=/data/sets\nCONFIG_DIRECTORY='/data/cfgs'\n"
     )
     monkeypatch.chdir(tmp_path)
-    monkeypatch.delenv("DATASET_DIRECTORY", raising=False)
-    monkeypatch.delenv("CONFIG_DIRECTORY", raising=False)
-    parsed = env_mod.load_env()
-    assert parsed["DATASET_DIRECTORY"] == "/data/sets"
-    assert os.environ["CONFIG_DIRECTORY"] == "/data/cfgs"
-    assert env_mod.resolve_dir("rec1", "DATASET_DIRECTORY") == "/data/sets/rec1"
-    assert env_mod.resolve_dir("/abs/x", "DATASET_DIRECTORY") == "/abs/x"
+    # monkeypatch.delenv(raising=False) on an *absent* key records no change,
+    # so load_env's setdefault would leak past the test; pop explicitly.
+    try:
+        parsed = env_mod.load_env()
+        assert parsed["DATASET_DIRECTORY"] == "/data/sets"
+        assert os.environ["CONFIG_DIRECTORY"] == "/data/cfgs"
+        assert env_mod.resolve_dir("rec1", "DATASET_DIRECTORY") == "/data/sets/rec1"
+        assert env_mod.resolve_dir("/abs/x", "DATASET_DIRECTORY") == "/abs/x"
+    finally:
+        for key in ("DATASET_DIRECTORY", "CONFIG_DIRECTORY"):
+            os.environ.pop(key, None)

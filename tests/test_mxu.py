@@ -149,3 +149,91 @@ def test_pallas_rank_select_matches_sort(rng):
     thr_sort, _ = cfar_ops.os_2d(m, method="sort", **params)
     thr_pal, _ = cfar_ops.os_2d(m, method="pallas", **params)
     np.testing.assert_array_equal(np.asarray(thr_pal), np.asarray(thr_sort))
+
+
+def test_fused_velocity_pipeline_matches_object_api(flagship_config):
+    """Device-resident RadVel pipeline vs the object-API estimator."""
+    from mmwave_radar_processing_tpu.data import ground_scene, simulate_frame
+    from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
+        build_velocity_pipeline,
+    )
+    from mmwave_radar_processing_tpu.processors.velocity_estimator import (
+        VelocityEstimator,
+    )
+    from mmwave_radar_processing_tpu.processors.virtual_array import (
+        VirtualArrayReformatter,
+    )
+
+    rng = np.random.default_rng(4)
+    ego = np.array([0.5, 0.12, -0.05])
+    altitude = 1.2
+    raws, alts = [], []
+    for _ in range(3):
+        scene = ground_scene(flagship_config, altitude_m=altitude, ego_vel=ego,
+                             num_patches=64, rng=rng, noise_sigma=0.03)
+        raws.append(simulate_frame(flagship_config, scene, rng))
+        alts.append(altitude)
+    raw = np.stack(raws)
+
+    fn = build_velocity_pipeline(flagship_config, lower_range_bound=0.5,
+                                 upper_range_bound=0.5, min_r2_threshold=0.2,
+                                 min_inlier_percent=0.3)
+    out = fn(np.real(raw).astype(np.float32), np.imag(raw).astype(np.float32),
+             np.asarray(alts, np.float32))
+
+    var = VirtualArrayReformatter(flagship_config)
+    ve = VelocityEstimator(flagship_config, lower_range_bound=0.5,
+                           upper_range_bound=0.5, min_R2_threshold=0.2,
+                           min_inlier_percent=0.3)
+    for i in range(3):
+        virt = np.asarray(var.process(raw[i]))
+        ref_vel = ve.process(adc_cube=virt, altitude=altitude).copy()
+        # deterministic parts agree exactly
+        np.testing.assert_allclose(float(out.vx[i]), ve.ego_vx_estimate, atol=1e-5)
+        # vx recovered near truth (ground recedes at +vx when moving down)
+        assert abs(float(out.vx[i]) - ego[0]) < 0.12
+        # RANSAC-dependent parts agree within seed noise
+        np.testing.assert_allclose(np.asarray(out.velocity[i]), ref_vel, atol=0.3)
+
+
+def test_synthetic_aperture_scan_matches_object_api(flagship_config, rng):
+    """Scan pipeline == object-API beamformer on a steady-track recording."""
+    from mmwave_radar_processing_tpu.data import PointTarget, Scene, simulate_frame
+    from mmwave_radar_processing_tpu.parallel.beamform_pipeline import (
+        build_synthetic_aperture_pipeline,
+    )
+    from mmwave_radar_processing_tpu.processors.synthetic_array import (
+        SyntheticArrayBeamformerProcessor,
+    )
+
+    np_rng = np.random.default_rng(9)
+    vel = np.array([0.2, 0.01, 0.0])
+    frames = []
+    for i in range(5):
+        scene = Scene(targets=[PointTarget(range_m=1.3, azimuth_rad=0.2, rcs=4.0)],
+                      noise_sigma=0.02)
+        frames.append(simulate_frame(flagship_config, scene, np_rng))
+    raw = np.stack(frames)
+    vels = np.tile(vel, (5, 1))
+
+    kwargs = dict(num_frames=3,
+                  az_angle_bins_rad=np.deg2rad(np.linspace(-30, 30, 40)),
+                  el_angle_bins_rad=np.array([0.0]),
+                  min_vel=np.array([0.15, 0.0, 0.0]),
+                  max_vel=np.array([0.3, 0.05, 0.05]),
+                  max_vel_stdev=np.array([0.1, 0.1, 0.1]))
+    fn = build_synthetic_aperture_pipeline(flagship_config, **kwargs)
+    mags, oks = fn(np.real(raw).astype(np.float32),
+                   np.imag(raw).astype(np.float32), vels)
+
+    proc = SyntheticArrayBeamformerProcessor(flagship_config, **kwargs)
+    for i in range(5):
+        resp = proc.process(raw[i], current_vel=vel)
+        assert bool(oks[i]) == proc.array_geometry_valid
+        if proc.array_geometry_valid:
+            ref_mag = np.abs(resp)
+            np.testing.assert_allclose(
+                np.asarray(mags[i]), ref_mag, rtol=2e-3,
+                atol=2e-3 * ref_mag.max(),
+            )
+    assert bool(oks[-1])  # steady track validates once the buffer fills
