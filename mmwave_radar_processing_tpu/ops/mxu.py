@@ -131,19 +131,25 @@ def dft_apply(x: C2, factors, axis: int = -1) -> C2:
 
 
 def zoom_dft_factors_dynamic(
-    f1: jax.Array, f2: jax.Array, *, n: int, m: int, fs: float
+    f1: jax.Array, f2: jax.Array, *, n: int, m: int, fs: float,
+    window: Optional[np.ndarray] = None,
 ):
     """Traced-band rectangular DTFT factors for a zoom transform.
 
     Frequencies ``f_k = f1 + k*(f2-f1)/m`` (scipy ``ZoomFFT`` endpoint=False
     convention); band edges may be traced scalars — the matrix values are
-    computed in-graph with static shape ``(n, m)``.
+    computed in-graph with static shape ``(n, m)``.  ``window`` folds a static
+    spectral window over the input samples into the matrix.
     """
     jv = jnp.arange(n, dtype=jnp.float32)[:, None]
     kv = jnp.arange(m, dtype=jnp.float32)[None, :]
     freqs = f1 + kv * (f2 - f1) / m
     ang = 2 * jnp.pi * jv * freqs / fs
-    return jnp.cos(ang), jnp.sin(ang)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    if window is not None:
+        w = jnp.asarray(window, jnp.float32)[:, None]
+        c, s = c * w, s * w
+    return c, s
 
 
 # --------------------------------------------------------------------------- #

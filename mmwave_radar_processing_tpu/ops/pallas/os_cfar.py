@@ -32,15 +32,39 @@ from mmwave_radar_processing_tpu.ops.pallas.rank_select import (
 )
 
 
-def _fused_kernel(x_ref, out_ref, train_scratch, *, offsets, r_out, d_out,
-                  w_pad, k_idx):
-    # 1+2: stack shifted static slices of the VMEM-resident map
-    for idx, (i, j) in enumerate(offsets):
-        train_scratch[:, :, idx] = x_ref[0, i : i + r_out, j : j + d_out]
-    if len(offsets) < w_pad:
-        train_scratch[:, :, len(offsets):] = jnp.full(
-            (r_out, d_out, w_pad - len(offsets)), jnp.inf, jnp.float32
-        )
+def _fused_kernel(x_ref, out_ref, train_scratch, *, offsets, guard_box,
+                  win_d, n_window, r_out, d_out, w_pad, k_idx,
+                  unroll_build: bool):
+    # 1+2: stack shifted slices of the VMEM-resident map.
+    if unroll_build:
+        for idx, (i, j) in enumerate(offsets):
+            train_scratch[:, :, idx] = x_ref[0, i : i + r_out, j : j + d_out]
+        if len(offsets) < w_pad:
+            train_scratch[:, :, len(offsets):] = jnp.full(
+                (r_out, d_out, w_pad - len(offsets)), jnp.inf, jnp.float32
+            )
+    else:
+        # Loop-based build keeps the Mosaic program small (one dynamic-slice
+        # body instead of ~190 unrolled copies) for slow remote-compile
+        # runtimes.  Window offsets come from arithmetic on the loop index;
+        # guard+CUT cells are written as +inf, which cannot change the rank-k
+        # statistic for k <= n_train since +inf sorts last.
+        gr0, gr1, gd0, gd1 = guard_box
+
+        def body(idx, _):
+            i = idx // win_d
+            j = idx - i * win_d
+            is_guard = (i >= gr0) & (i <= gr1) & (j >= gd0) & (j <= gd1)
+            slab = x_ref[0, pl.ds(i, r_out), pl.ds(j, d_out)]
+            slab = jnp.where(is_guard, jnp.inf, slab)
+            train_scratch[:, :, pl.ds(idx, 1)] = slab[:, :, None]
+            return 0
+
+        jax.lax.fori_loop(0, n_window, body, 0)
+        if n_window < w_pad:
+            train_scratch[:, :, n_window:] = jnp.full(
+                (r_out, d_out, w_pad - n_window), jnp.inf, jnp.float32
+            )
 
     # 3: bitonic rank selection along the window axis
     flat = train_scratch[:].reshape(r_out * d_out, w_pad)
@@ -50,7 +74,8 @@ def _fused_kernel(x_ref, out_ref, train_scratch, *, offsets, r_out, d_out,
     out_ref[0] = sorted_flat[:, k_idx].reshape(r_out, d_out)
 
 
-@partial(jax.jit, static_argnames=("num_train", "num_guard", "k_rank", "interpret"))
+@partial(jax.jit, static_argnames=("num_train", "num_guard", "k_rank",
+                                   "interpret", "unroll_build"))
 def os_cfar_2d_noise_fused(
     x: jax.Array,
     *,
@@ -58,6 +83,7 @@ def os_cfar_2d_noise_fused(
     num_guard,
     k_rank: int,
     interpret: bool = False,
+    unroll_build: bool = False,
 ) -> jax.Array:
     """Rank-``k_rank`` training-cell noise map for OS-CFAR 2D.
 
@@ -84,16 +110,24 @@ def os_cfar_2d_noise_fused(
         num_train[1] : num_train[1] + 2 * num_guard[1] + 1,
     ] = False
     offsets = tuple(map(tuple, np.argwhere(mask)))
-    w_pad = max(_next_pow2(len(offsets)), 128)
+    n_window = win_r * win_d
+    width = len(offsets) if unroll_build else n_window
+    w_pad = max(_next_pow2(width), 128)
+    guard_box = (num_train[0], num_train[0] + 2 * num_guard[0],
+                 num_train[1], num_train[1] + 2 * num_guard[1])
 
     out = pl.pallas_call(
         partial(
             _fused_kernel,
             offsets=offsets,
+            guard_box=guard_box,
+            win_d=win_d,
+            n_window=n_window,
             r_out=r_out,
             d_out=d_out,
             w_pad=w_pad,
             k_idx=k_rank - 1,
+            unroll_build=unroll_build,
         ),
         out_shape=jax.ShapeDtypeStruct((b, r_out, d_out), jnp.float32),
         grid=(b,),

@@ -56,9 +56,20 @@ def build_velocity_pipeline(
     peak_threshold_db: float = 30.0,
     min_r2_threshold: float = 0.6,
     min_inlier_percent: float = 0.75,
+    enable_precise: bool = False,
+    precise_vel_bound: float = 0.25,
+    min_zoom_fft_vel_span: float = 0.1,
     seed: int = 42,
 ):
-    """Compile ``(raw_re, raw_im, altitude[B]) -> VelocityBatch``."""
+    """Compile ``(raw_re, raw_im, altitude[B]) -> VelocityBatch``.
+
+    ``enable_precise=True`` adds the reference's zoom-FFT refinement
+    (``velocity_estimator.py:831-847``): responses are recomputed on a
+    two-half-band zoomed velocity grid centered at ``-vx`` (traced band edges
+    into in-graph DTFT factors — one compilation for any center), ``vx`` is
+    re-read from the zoomed zero-azimuth column, and the vy fits use the
+    zoomed rows with their validity mask.
+    """
     ns, loops = cfg.num_adc_samples, cfg.frame.loops
     num_rx, cpl = cfg.num_rx_antennas, cfg.chirp_cfgs_per_loop
 
@@ -93,15 +104,22 @@ def build_velocity_pipeline(
         w = rmask[:, None, None]
         return jnp.sum(mag * w, axis=0) / jnp.maximum(jnp.sum(rmask), 1.0)
 
-    def zero_az_vel(resp):
+    vmax = cfg.vel_max_m_s
+    vel_fs = 1.0 / cfg.vel_res_m_s
+    vel_scale = vel_fs / vmax
+    nv = loops
+
+    def zero_az_vel(resp, bins, row_valid=None):
         db = 20.0 * jnp.log10(resp + 1e-12)
         db = jnp.maximum(db, jnp.max(db) - peak_threshold_db)
         col = db[:, zero_az_col]
         mask = peaks_ops.local_maxima(col)
+        if row_valid is not None:
+            mask = mask & row_valid
         best = jnp.argmax(jnp.where(mask, col, -jnp.inf))
-        return jnp.where(jnp.any(mask), vel_bins[best], 0.0), jnp.any(mask)
+        return jnp.where(jnp.any(mask), bins[best], 0.0), jnp.any(mask)
 
-    def row_peaks(resp):
+    def row_peaks(resp, bins, row_valid=None):
         db = 20.0 * jnp.log10(resp + 1e-12)
         db = jnp.maximum(db, jnp.max(db) - peak_threshold_db)
 
@@ -111,7 +129,67 @@ def build_velocity_pipeline(
             return jnp.argmax(jnp.where(m, row, -jnp.inf)), jnp.any(m)
 
         best_idx, found = jax.vmap(per_row)(db)
-        return valid_angle_bins[best_idx], vel_bins, found
+        if row_valid is not None:
+            found = found & row_valid
+        return valid_angle_bins[best_idx], bins, found
+
+    def zoomed_grid(center_vel):
+        """Clamped two-half-band zoomed velocity grid + per-side presence.
+
+        Mirrors ``DopplerAzimuthProcessor`` clamping/min-spread/side layout
+        (``doppler_azimuth_resp.py:164-246``) with traced values.
+        """
+        v0 = jnp.maximum(center_vel - precise_vel_bound, -vmax)
+        v1 = jnp.minimum(center_vel + precise_vel_bound, vmax)
+        spread = 2.0 * min_zoom_fft_vel_span
+        need = (v1 - v0) < spread
+        dist_hi = jnp.abs(v1 - vmax)
+        dist_lo = jnp.abs(v0 + vmax)
+        v1 = jnp.where(need & (dist_hi > dist_lo), v0 + spread, v1)
+        v0 = jnp.where(need & (dist_lo > dist_hi), v1 - spread, v0)
+
+        neg_stop = jnp.minimum(-1e-4, v1)
+        neg_bins = v0 + (neg_stop - v0) * jnp.arange(nv) / nv
+        neg_present = v0 <= 0
+        pos_start = jnp.maximum(1e-4, v0)
+        pos_bins = pos_start + (v1 - pos_start) * jnp.arange(nv) / nv
+        pos_present = v1 > 0
+        bins = jnp.concatenate([neg_bins, pos_bins])
+        neg_ok = neg_present & (
+            jnp.abs(jnp.max(neg_bins) - jnp.min(neg_bins)) > min_zoom_fft_vel_span
+        )
+        pos_ok = pos_present & (
+            jnp.abs(jnp.max(pos_bins) - jnp.min(pos_bins)) > min_zoom_fft_vel_span
+        )
+        row_valid = jnp.concatenate(
+            [jnp.broadcast_to(neg_ok, (nv,)), jnp.broadcast_to(pos_ok, (nv,))]
+        )
+        return bins, row_valid, (neg_bins, neg_ok), (pos_bins, pos_ok)
+
+    def precise_response(rng_fft, rx_set, angle_factors, rmask, grid):
+        """Zoomed Doppler-azimuth response for one sub-array [2*nv, angle]."""
+        bins, _, (neg_bins, neg_ok), (pos_bins, pos_ok) = grid
+        sub = mxu.C2(rng_fft.re[rx_set], rng_fft.im[rx_set])
+        data = mxu.C2(jnp.moveaxis(sub.re, 0, -1), jnp.moveaxis(sub.im, 0, -1))
+
+        def half(lo, hi, ok):
+            # historical quirk: ZoomFFT built with fs*2 (ref :153-154);
+            # the chirp Hann window folds into the zoom matrix
+            factors = mxu.zoom_dft_factors_dynamic(
+                lo * vel_scale, hi * vel_scale, n=nv, m=nv, fs=vel_fs * 2.0,
+                window=np.hanning(nv),
+            )
+            spec = mxu.dft_apply(data, factors, axis=1)
+            spec = mxu.dft_apply(spec, angle_factors, axis=2)
+            mag = mxu.cabs(spec)[..., valid_cols]
+            return jnp.where(ok, mag, 0.0)
+
+        neg = half(jnp.min(neg_bins) + 2 * vmax, jnp.max(neg_bins) + 2 * vmax,
+                   neg_ok)
+        pos = half(jnp.min(pos_bins), jnp.max(pos_bins), pos_ok)
+        mag = jnp.concatenate([neg, pos], axis=1)  # [range, 2nv, angle]
+        w = rmask[:, None, None]
+        return jnp.sum(mag * w, axis=0) / jnp.maximum(jnp.sum(rmask), 1.0)
 
     def fit_vy(angles, vels, found, vx, key):
         """Standard / small-vx RANSAC vy fit (reference :346-506)."""
@@ -154,16 +232,34 @@ def build_velocity_pipeline(
             + response(rng_fft, el_sets[1], el_angle_factors, rmask)
         )
 
-        az_v, az_found = zero_az_vel(az_resp)
-        el_v, el_found = zero_az_vel(el_resp)
-        vx = jnp.where(
-            az_found & el_found, -0.5 * (az_v + el_v),
-            jnp.where(az_found, -az_v, jnp.where(el_found, -el_v, 0.0)),
-        )
+        def vx_from(az_r, el_r, bins, row_valid=None):
+            az_v, az_found = zero_az_vel(az_r, bins, row_valid)
+            el_v, el_found = zero_az_vel(el_r, bins, row_valid)
+            return jnp.where(
+                az_found & el_found, -0.5 * (az_v + el_v),
+                jnp.where(az_found, -az_v, jnp.where(el_found, -el_v, 0.0)),
+            )
+
+        vx = vx_from(az_resp, el_resp, vel_bins)
+        peak_bins, peak_row_valid = vel_bins, None
+
+        if enable_precise:
+            grid = zoomed_grid(-vx)
+            az_resp = 0.5 * (
+                precise_response(rng_fft, az_sets[0], az_angle_factors, rmask, grid)
+                + precise_response(rng_fft, az_sets[1], az_angle_factors, rmask, grid)
+            )
+            el_resp = 0.5 * (
+                precise_response(rng_fft, el_sets[0], el_angle_factors, rmask, grid)
+                + precise_response(rng_fft, el_sets[1], el_angle_factors, rmask, grid)
+            )
+            zoom_bins, zoom_valid = grid[0], grid[1]
+            vx = vx_from(az_resp, el_resp, zoom_bins, zoom_valid)
+            peak_bins, peak_row_valid = zoom_bins, zoom_valid
 
         k1, k2 = jax.random.split(key)
-        az_a, az_vl, az_f = row_peaks(az_resp)
-        el_a, el_vl, el_f = row_peaks(el_resp)
+        az_a, az_vl, az_f = row_peaks(az_resp, peak_bins, peak_row_valid)
+        el_a, el_vl, el_f = row_peaks(el_resp, peak_bins, peak_row_valid)
         az_vy, az_r2, az_in = fit_vy(az_a, az_vl, az_f, vx, k1)
         el_vy, el_r2, el_in = fit_vy(el_a, el_vl, el_f, vx, k2)
 

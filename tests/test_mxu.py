@@ -237,3 +237,43 @@ def test_synthetic_aperture_scan_matches_object_api(flagship_config, rng):
                 atol=2e-3 * ref_mag.max(),
             )
     assert bool(oks[-1])  # steady track validates once the buffer fills
+
+
+def test_fused_velocity_pipeline_precise(flagship_config):
+    """Precise (zoom) path matches the object API's enable_precise_responses."""
+    from mmwave_radar_processing_tpu.data import ground_scene, simulate_frame
+    from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
+        build_velocity_pipeline,
+    )
+    from mmwave_radar_processing_tpu.processors.velocity_estimator import (
+        VelocityEstimator,
+    )
+    from mmwave_radar_processing_tpu.processors.virtual_array import (
+        VirtualArrayReformatter,
+    )
+
+    rng = np.random.default_rng(12)
+    ego = np.array([0.5, 0.1, 0.0])
+    altitude = 1.2
+    scene = ground_scene(flagship_config, altitude_m=altitude, ego_vel=ego,
+                         num_patches=64, rng=rng, noise_sigma=0.03)
+    raw = simulate_frame(flagship_config, scene, rng)[None]
+
+    fn = build_velocity_pipeline(flagship_config, lower_range_bound=0.5,
+                                 upper_range_bound=0.5, enable_precise=True,
+                                 min_r2_threshold=0.2, min_inlier_percent=0.3)
+    out = fn(np.real(raw).astype(np.float32), np.imag(raw).astype(np.float32),
+             np.asarray([altitude], np.float32))
+
+    var = VirtualArrayReformatter(flagship_config)
+    ve = VelocityEstimator(flagship_config, lower_range_bound=0.5,
+                           upper_range_bound=0.5, min_R2_threshold=0.2,
+                           min_inlier_percent=0.3)
+    virt = np.asarray(var.process(raw[0]))
+    ref_vel = ve.process(adc_cube=virt, altitude=altitude,
+                         enable_precise_responses=True)
+    # precise vx readout matches the object API (within float32 of the
+    # zoom grid; the zoomed bin spacing is ~0.007 m/s)
+    np.testing.assert_allclose(float(out.vx[0]), ve.ego_vx_estimate, atol=0.02)
+    assert abs(float(out.vx[0]) - ego[0]) < 0.1
+    np.testing.assert_allclose(np.asarray(out.velocity[0]), ref_vel, atol=0.3)
