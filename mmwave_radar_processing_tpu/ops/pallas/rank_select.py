@@ -56,6 +56,30 @@ def _bitonic_sort_block(x: jax.Array, w: int) -> jax.Array:
     return x
 
 
+def _bitonic_sort_block_axis0(x: jax.Array, w: int) -> jax.Array:
+    """Ascending bitonic sort along axis 0 of ``[w, ...]`` (leading axis).
+
+    Same network as :func:`_bitonic_sort_block` with the compare-exchange
+    running across the untiled leading dimension — the layout used when the
+    sorted axis must accept dynamic writes (lane dims cannot).
+    """
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (w,) + (1,) * (x.ndim - 1), 0)
+    k = 2
+    while k <= w:
+        j = k // 2
+        while j >= 1:
+            bit_j = (lanes & j) != 0
+            asc = (lanes & k) == 0
+            partner = jnp.where(bit_j, pltpu.roll(x, j, 0), pltpu.roll(x, w - j, 0))
+            mn = jnp.minimum(x, partner)
+            mx = jnp.maximum(x, partner)
+            keep_min = asc ^ bit_j
+            x = jnp.where(keep_min, mn, mx)
+            j //= 2
+        k *= 2
+    return x
+
+
 def _rank_kernel(x_ref, out_ref, *, w: int, k_idx: int):
     sorted_x = _bitonic_sort_block(x_ref[:], w)
     out_ref[:] = sorted_x[:, k_idx][:, None]
