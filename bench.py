@@ -72,7 +72,7 @@ def measure_reference_baseline(n: int = 40) -> float:
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=512)
+    parser.add_argument("--batch", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--metric", choices=["pointcloud", "velocity"],
                         default="pointcloud",

@@ -23,9 +23,12 @@ def mask_to_indices(mask: jax.Array, capacity: int):
       positions in ascending order; the rest are 0-padded.
     - ``valid``: (capacity,) bool validity mask.
     - ``count``: () int32 number of True entries (clamped to ``capacity``).
+
+    Sort-based compaction: valid entries keep their index as the sort key,
+    invalid entries push to the end.  (A cumsum+scatter variant was measured
+    *slower* on TPU — scatters serialize; sorting 4k int keys does not.)
     """
     n = mask.shape[0]
-    # Sort keys: valid entries keep their index, invalid entries push to +inf.
     keys = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
     order = jnp.sort(keys)[:capacity]
     valid = order < n

@@ -110,3 +110,23 @@ def test_graft_entry_contract():
     assert np.asarray(out.points).ndim == 3
     ge.dryrun_multichip(8)
     ge.dryrun_multichip(4)
+
+
+def test_pipeline_sharded_mxu(flagship_config, mesh):
+    """MXU (split-complex) pipeline under data sharding matches unsharded."""
+    scenes = [
+        Scene(targets=[PointTarget(range_m=1.0 + 0.1 * i, azimuth_rad=0.1 * i,
+                                   velocity_m_s=0.2 * (i % 3 - 1), rcs=3.0)])
+        for i in range(8)
+    ]
+    raw = simulate_frames(flagship_config, scenes).astype(np.complex64)
+    re = np.real(raw).astype(np.float32)
+    im = np.imag(raw).astype(np.float32)
+    fn = build_point_cloud_pipeline(flagship_config, max_dets=64, backend="mxu")
+
+    ref = fn(re, im)
+    sh = NamedSharding(mesh, P("data"))
+    out = fn(jax.device_put(re, sh), jax.device_put(im, sh))
+    np.testing.assert_array_equal(np.asarray(out.count), np.asarray(ref.count))
+    np.testing.assert_allclose(np.asarray(out.points), np.asarray(ref.points),
+                               rtol=1e-5, atol=1e-5)
