@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import numpy as np
 
 from mmwave_radar_processing_tpu.processors.altimeter import Altimeter, AltimeterState
@@ -115,3 +117,53 @@ def test_env_convention(tmp_path, monkeypatch):
     finally:
         for key in ("DATASET_DIRECTORY", "CONFIG_DIRECTORY"):
             os.environ.pop(key, None)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/mmwave_radar_processing"),
+    reason="reference not available",
+)
+def test_rotations_parity():
+    import importlib.util
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_rot",
+        "/root/reference/mmwave_radar_processing/supportFns/rotation_functions.py",
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from mmwave_radar_processing_tpu.utils import rotations as ours
+
+    rng = np.random.default_rng(0)
+    for ang in (-2.0, 0.0, 0.7, 3.5):
+        np.testing.assert_allclose(
+            ours.get_rot_matrix(ang), ref.get_rot_matrix(ang), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            ours.get_angle_from_rot_matrix(ours.get_rot_matrix(ang)),
+            ref.get_angle_from_rot_matrix(ref.get_rot_matrix(ang)),
+        )
+        np.testing.assert_allclose(ours.wrap_heading(ang), ref.wrap_heading(ang),
+                                   atol=1e-12)
+
+    pts = rng.standard_normal((6, 2))
+    np.testing.assert_allclose(
+        ours.apply_rot_trans(pts, 0.4, [1.0, -2.0]),
+        ref.apply_rot_trans(pts, 0.4, np.array([1.0, -2.0])),
+        rtol=1e-12,
+    )
+    angs = rng.uniform(-np.pi, np.pi, 4)
+    trans = rng.standard_normal((4, 2))
+    np.testing.assert_allclose(
+        ours.apply_multiple_rot_trans(pts, angs, trans),
+        ref.apply_multiple_rot_trans(pts, angs, trans),
+        rtol=1e-10,
+    )
+    pts4 = rng.standard_normal((4, 2))
+    np.testing.assert_allclose(
+        ours.apply_unique_rot_trans_to_multiple_points(pts4, angs, trans),
+        ref.apply_unique_rot_trans_to_multiple_points(pts4, angs, trans),
+        rtol=1e-10,
+    )
