@@ -26,6 +26,15 @@ from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
     VelocityBatch,
     build_velocity_pipeline,
 )
+from mmwave_radar_processing_tpu.parallel.beamform_pipeline import (
+    build_synthetic_aperture_pipeline,
+)
+from mmwave_radar_processing_tpu.parallel.spectral_pipeline import (
+    SpectralMaps,
+    build_dbs_pipeline,
+    build_micro_doppler_pipeline,
+    build_spectral_maps_pipeline,
+)
 
 __all__ = [
     "make_mesh",
@@ -34,4 +43,9 @@ __all__ = [
     "shard_pipeline",
     "VelocityBatch",
     "build_velocity_pipeline",
+    "build_synthetic_aperture_pipeline",
+    "SpectralMaps",
+    "build_dbs_pipeline",
+    "build_micro_doppler_pipeline",
+    "build_spectral_maps_pipeline",
 ]

@@ -277,3 +277,110 @@ def test_fused_velocity_pipeline_precise(flagship_config):
     np.testing.assert_allclose(float(out.vx[0]), ve.ego_vx_estimate, atol=0.02)
     assert abs(float(out.vx[0]) - ego[0]) < 0.1
     np.testing.assert_allclose(np.asarray(out.velocity[0]), ref_vel, atol=0.3)
+
+
+def test_spectral_maps_pipeline_matches_object_api(flagship_config, rng):
+    from mmwave_radar_processing_tpu.data import PointTarget, Scene, simulate_frames
+    from mmwave_radar_processing_tpu.parallel.spectral_pipeline import (
+        build_spectral_maps_pipeline,
+    )
+    from mmwave_radar_processing_tpu.processors import (
+        DopplerAzimuthProcessor,
+        RangeAngleProcessor,
+        RangeDopplerProcessor,
+        VirtualArrayReformatter,
+    )
+
+    scenes = [
+        Scene(targets=[PointTarget(range_m=1.0 + 0.3 * i, azimuth_rad=0.2 - 0.2 * i,
+                                   velocity_m_s=0.4 * (i - 1), rcs=3.0)])
+        for i in range(3)
+    ]
+    raw = simulate_frames(flagship_config, scenes).astype(np.complex64)
+    fn = build_spectral_maps_pipeline(flagship_config)
+    out = fn(np.real(raw).astype(np.float32), np.imag(raw).astype(np.float32))
+
+    var = VirtualArrayReformatter(flagship_config)
+    rd = RangeDopplerProcessor(flagship_config)
+    ra = RangeAngleProcessor(flagship_config)
+    da = DopplerAzimuthProcessor(flagship_config)
+    for i in range(3):
+        virt = np.asarray(var.process(raw[i]))
+        ref_rd = np.asarray(rd.process(virt, rx_idx=0))
+        ref_ra = np.asarray(ra.process(virt, rx_antennas=[0, 3, 4, 7]))
+        ref_da = np.asarray(da.process(virt, rx_antennas=[0, 3, 4, 7]))
+        np.testing.assert_allclose(np.asarray(out.range_doppler[i]), ref_rd,
+                                   rtol=2e-3, atol=2e-3 * ref_rd.max())
+        np.testing.assert_allclose(np.asarray(out.range_angle[i]), ref_ra,
+                                   rtol=2e-3, atol=2e-3 * ref_ra.max())
+        np.testing.assert_allclose(np.asarray(out.doppler_azimuth[i]), ref_da,
+                                   rtol=2e-3, atol=2e-3 * ref_da.max())
+
+
+def test_micro_doppler_pipeline_matches_object_api(flagship_config, rng):
+    from mmwave_radar_processing_tpu.data import PointTarget, Scene, simulate_frames
+    from mmwave_radar_processing_tpu.parallel.spectral_pipeline import (
+        build_micro_doppler_pipeline,
+    )
+    from mmwave_radar_processing_tpu.processors import (
+        MicroDopplerProcessor,
+        VirtualArrayReformatter,
+    )
+
+    scenes = [
+        Scene(targets=[PointTarget(range_m=0.8, velocity_m_s=0.3 * i, rcs=3.0)])
+        for i in range(4)
+    ]
+    raw = simulate_frames(flagship_config, scenes).astype(np.complex64)
+    fn = build_micro_doppler_pipeline(flagship_config, target_ranges=(0.5, 2.0),
+                                      num_frames_history=5)
+    out = fn(np.real(raw).astype(np.float32), np.imag(raw).astype(np.float32))
+
+    var = VirtualArrayReformatter(flagship_config)
+    md = MicroDopplerProcessor(flagship_config, target_ranges=[0.5, 2.0],
+                               num_frames_history=5)
+    for i in range(4):
+        ref = np.asarray(md.process(np.asarray(var.process(raw[i])), rx_idx=0))
+    np.testing.assert_allclose(np.asarray(out[-1]), ref, rtol=2e-3,
+                               atol=2e-3 * ref.max())
+
+
+def test_dbs_pipeline_matches_object_api(flagship_config, rng):
+    from mmwave_radar_processing_tpu.data import PointTarget, Scene, simulate_frames
+    from mmwave_radar_processing_tpu.parallel.spectral_pipeline import (
+        build_dbs_pipeline,
+    )
+    from mmwave_radar_processing_tpu.processors.dbs import (
+        RangeAngleProcessorDBSEnhanced,
+    )
+    from mmwave_radar_processing_tpu.processors import VirtualArrayReformatter
+
+    scenes = [
+        Scene(targets=[PointTarget(range_m=1.5, azimuth_rad=0.3,
+                                   velocity_m_s=-0.4, rcs=3.0)])
+        for _ in range(2)
+    ]
+    raw = simulate_frames(flagship_config, scenes).astype(np.complex64)
+    vels = np.array([[0.5, 0.2, 0.0], [0.05, 0.02, 0.0]], np.float32)  # fast, slow
+    fn = build_dbs_pipeline(flagship_config, num_dbs_angle_bins=100)
+    out = fn(np.real(raw).astype(np.float32), np.imag(raw).astype(np.float32), vels)
+
+    var = VirtualArrayReformatter(flagship_config)
+    proc = RangeAngleProcessorDBSEnhanced(
+        flagship_config, num_angle_bins_range_angle_response=64,
+        num_angle_bins_dbs_enhanced_response=100, min_x_y_vel_dbs=0.25,
+    )
+    rx = [0, 3, 4, 7]
+    virt0 = np.asarray(var.process(raw[0]))
+    ref_fast = np.asarray(proc.process(virt0, velocity_ned=vels[0], rx_antennas=rx))
+    np.testing.assert_allclose(np.asarray(out[0]), ref_fast, rtol=2e-3,
+                               atol=2e-3 * ref_fast.max())
+
+    # slow frame: fallback equals plain range-angle resampled onto the DBS grid
+    virt1 = np.asarray(var.process(raw[1]))
+    ref_slow = np.asarray(proc.process_no_dbs(virt1, rx_antennas=rx))
+    angle_bins = proc.angle_bins_no_dbs_enhancement
+    near = np.argmin(np.abs(angle_bins[None, :]
+                            - proc.angle_bins_dbs_enhanced[:, None]), axis=1)
+    np.testing.assert_allclose(np.asarray(out[1]), ref_slow[:, near], rtol=2e-3,
+                               atol=2e-3 * ref_slow.max())
