@@ -17,6 +17,20 @@ from mmwave_radar_processing_tpu.processors.range_angle import RangeAngleProcess
 from mmwave_radar_processing_tpu.processors.doppler_azimuth import DopplerAzimuthProcessor
 from mmwave_radar_processing_tpu.processors.micro_doppler import MicroDopplerProcessor
 from mmwave_radar_processing_tpu.processors.altimeter import Altimeter
+from mmwave_radar_processing_tpu.processors.detection import (
+    RangeDetector,
+    RangeDopplerDetector2D,
+    RangeDopplerDetectorSequential,
+    RangeDopplerGroundDetector,
+    get_range_doppler_detector_registry,
+)
+from mmwave_radar_processing_tpu.processors.point_cloud import PointCloudGenerator
+from mmwave_radar_processing_tpu.processors.velocity_estimator import VelocityEstimator
+from mmwave_radar_processing_tpu.processors.dbs import RangeAngleProcessorDBSEnhanced
+from mmwave_radar_processing_tpu.processors.strip_map_sar import StripMapSARProcessor
+from mmwave_radar_processing_tpu.processors.synthetic_array import (
+    SyntheticArrayBeamformerProcessor,
+)
 
 __all__ = [
     "VirtualArrayReformatter",
@@ -26,4 +40,14 @@ __all__ = [
     "DopplerAzimuthProcessor",
     "MicroDopplerProcessor",
     "Altimeter",
+    "RangeDetector",
+    "RangeDopplerDetector2D",
+    "RangeDopplerDetectorSequential",
+    "RangeDopplerGroundDetector",
+    "get_range_doppler_detector_registry",
+    "PointCloudGenerator",
+    "VelocityEstimator",
+    "RangeAngleProcessorDBSEnhanced",
+    "StripMapSARProcessor",
+    "SyntheticArrayBeamformerProcessor",
 ]
