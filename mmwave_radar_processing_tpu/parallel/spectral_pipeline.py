@@ -164,6 +164,38 @@ def build_micro_doppler_pipeline(
     return jax.jit(pipeline)
 
 
+def build_strip_map_pipeline(
+    cfg: RadarConfig,
+    *,
+    rx_index: int = 0,
+    reformat_input: bool = True,
+):
+    """Compile ``(raw_re, raw_im) -> |SAR map| [B, ns, loops]`` (full map).
+
+    The strip-map SAR transform is one windowless 2D DFT with a Doppler
+    fftshift (reference ``strip_map_SAR_processor.py:181-189``); the
+    velocity-dependent valid range/angle crop stays host-side (it changes
+    shape), applied by :class:`...processors.strip_map_sar.StripMapSARProcessor`
+    conventions on the returned full map.
+    """
+    ns, loops = cfg.num_adc_samples, cfg.frame.loops
+    num_rx, cpl = cfg.num_rx_antennas, cfg.chirp_cfgs_per_loop
+    rng_factors = mxu.dft_factors(ns)
+    dop_factors = mxu.dft_factors(loops, shift=True)
+
+    def single_frame(raw_re, raw_im):
+        if reformat_input:
+            cube = _reformat_c2(raw_re, raw_im, num_rx, cpl)
+        else:
+            cube = mxu.C2(raw_re, raw_im)
+        sl = mxu.C2(cube.re[rx_index], cube.im[rx_index])
+        spec = mxu.dft_apply(sl, rng_factors, axis=0)
+        spec = mxu.dft_apply(spec, dop_factors, axis=1)
+        return mxu.cabs(spec)
+
+    return jax.jit(jax.vmap(single_frame))
+
+
 def build_dbs_pipeline(
     cfg: RadarConfig,
     *,

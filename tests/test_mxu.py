@@ -384,3 +384,26 @@ def test_dbs_pipeline_matches_object_api(flagship_config, rng):
                             - proc.angle_bins_dbs_enhanced[:, None]), axis=1)
     np.testing.assert_allclose(np.asarray(out[1]), ref_slow[:, near], rtol=2e-3,
                                atol=2e-3 * ref_slow.max())
+
+
+def test_strip_map_pipeline_matches_object_api(flagship_config, rng):
+    from mmwave_radar_processing_tpu.data import PointTarget, Scene, simulate_frames
+    from mmwave_radar_processing_tpu.parallel.spectral_pipeline import (
+        build_strip_map_pipeline,
+    )
+    from mmwave_radar_processing_tpu.processors import StripMapSARProcessor
+
+    scenes = [Scene(targets=[PointTarget(range_m=1.0, azimuth_rad=0.1, rcs=3.0)])
+              for _ in range(2)]
+    raw = simulate_frames(flagship_config, scenes).astype(np.complex64)
+    fn = build_strip_map_pipeline(flagship_config)
+    out = fn(np.real(raw).astype(np.float32), np.imag(raw).astype(np.float32))
+
+    proc = StripMapSARProcessor(flagship_config)
+    cropped = proc.process(raw[0], vel_m_per_s=0.25, sensor_height_m=0.24,
+                           max_SAR_distance=1.5)
+    full = np.asarray(out[0])
+    ref_crop = np.abs(cropped)
+    ours_crop = full[proc.valid_ranges_slice, proc.valid_angles_slice]
+    np.testing.assert_allclose(ours_crop, ref_crop, rtol=2e-3,
+                               atol=2e-3 * ref_crop.max())

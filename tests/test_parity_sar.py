@@ -169,3 +169,38 @@ def test_synthetic_array_calibration_runs(flagship_config, ref_cfg, raw_cubes):
         out = ours.process(cube, current_vel=vel)
     assert out.size > 0 and np.all(np.isfinite(np.abs(out)))
     assert ours.interpolated_beamformed_resp.size > 0
+
+
+def test_synthetic_array_calibration_parity(flagship_config, ref_cfg, raw_cubes):
+    """Self-calibration: corrected geometry + recomputed response match."""
+    from mmwave_radar_processing.processors.simple_synthetic_array_beamformer_processor_multiFrame import (
+        SyntheticArrayBeamformerProcessor as RefSA,
+    )
+
+    kwargs = dict(
+        receiver_idx=0, chirp_cfg_idx=0, num_frames=3, stride=1,
+        az_angle_bins_rad=np.deg2rad(np.linspace(-30, 30, 40)),
+        el_angle_bins_rad=np.array([0.0]),
+        min_vel=np.array([0.15, 0.0, 0.0]),
+        max_vel=np.array([0.3, 0.05, 0.05]),
+        max_vel_stdev=np.array([0.1, 0.1, 0.1]),
+        enable_calibration=True, num_calibration_iters=1,
+    )
+    ref = RefSA(ref_cfg, **kwargs)
+    ours = SyntheticArrayBeamformerProcessor(flagship_config, **kwargs)
+
+    vel = np.array([0.2, 0.01, 0.0])
+    for cube in raw_cubes:
+        ref_out = ref.process(cube.copy(), current_vel=vel)
+        ours_out = ours.process(cube, current_vel=vel)
+
+    assert ref.array_geometry_valid and ours.array_geometry_valid
+    assert ref.array_geometry_calibrated.shape == ours.array_geometry_calibrated.shape
+    np.testing.assert_allclose(
+        ours.array_geometry_calibrated, ref.array_geometry_calibrated,
+        rtol=1e-3, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.abs(ours_out), np.abs(ref_out), rtol=5e-3,
+        atol=5e-3 * np.abs(ref_out).max(),
+    )
