@@ -1,0 +1,99 @@
+"""Combined serving pipeline: point clouds + ego-velocity in one dispatch.
+
+The point-cloud and velocity pipelines share their front half — virtual-array
+reformat and the Hann-windowed range DFT — so serving both products per frame
+costs one reformat + one range transform instead of two.  One jitted program
+maps a frame batch to ``(PointCloudBatch, VelocityBatch)``; this is the
+configuration ``scripts/process_recording.py`` uses.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmwave_radar_processing_tpu.config import RadarConfig, grids
+from mmwave_radar_processing_tpu.ops import cfar as cfar_ops, masked, mxu
+from mmwave_radar_processing_tpu.parallel.pipeline import PointCloudBatch
+from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
+    VelocityBatch,
+    build_velocity_pipeline,
+)
+from mmwave_radar_processing_tpu.processors.point_cloud import (
+    spherical_to_cartesian_flu,
+)
+from mmwave_radar_processing_tpu.processors.virtual_array import reformat
+
+
+def build_full_pipeline(
+    cfg: RadarConfig,
+    *,
+    az_antenna_idxs: Sequence[int] = (0, 3, 4, 7),
+    el_antenna_idxs: Sequence[int] = (9, 8, 5, 4),
+    cfar_params: Optional[dict] = None,
+    max_dets: int = 128,
+    num_angle_bins: int = 64,
+    shift_az_resp: bool = True,
+    shift_el_resp: bool = False,
+    velocity_kwargs: Optional[dict] = None,
+):
+    """Compile ``(raw_re, raw_im, altitude[B]) -> (PointCloudBatch, VelocityBatch)``.
+
+    The velocity half reuses
+    :func:`~mmwave_radar_processing_tpu.parallel.velocity_pipeline.build_velocity_pipeline`
+    semantics (ODS ADC path); the point-cloud half matches
+    ``build_point_cloud_pipeline(backend="mxu")``.  XLA CSEs the shared
+    reformat/range-DFT subgraphs; a fully hand-shared variant is not needed.
+    """
+    cfar_params = cfar_params or dict(
+        num_train=(5, 5), num_guard=(3, 2), rho=0.7, alpha=4.0
+    )
+    ns, loops = cfg.num_adc_samples, cfg.frame.loops
+    num_rx, cpl = cfg.num_rx_antennas, cfg.chirp_cfgs_per_loop
+    az_idx = np.asarray(az_antenna_idxs, int)
+    el_idx = np.asarray(el_antenna_idxs, int)
+    angle_bins = jnp.asarray(grids.angle_bins(num_angle_bins))
+    rng_factors, dop_factors = mxu.range_doppler_factors(ns, loops)
+    az_factors = mxu.aoa_factors(len(az_idx) or 1, num_angle_bins, shift_az_resp)
+    el_factors = mxu.aoa_factors(len(el_idx) or 1, num_angle_bins, shift_el_resp)
+    range_res = cfg.range_res_m
+    vel0, vel_res = -cfg.vel_max_m_s, cfg.vel_res_m_s
+
+    vel_fn_single = build_velocity_pipeline(cfg, **(velocity_kwargs or {}))
+
+    def aoa(rd: mxu.C2, idxs, r_i, v_i, factors):
+        snap = mxu.C2(rd.re[idxs][:, r_i, v_i].T, rd.im[idxs][:, r_i, v_i].T)
+        spec = mxu.dft_apply(snap, factors, axis=-1)
+        return angle_bins[jnp.argmax(mxu.cabs2(spec), axis=1)]
+
+    def point_cloud_frame(raw_re, raw_im):
+        cube = mxu.C2(
+            reformat(raw_re, num_rx=num_rx, cfgs_per_loop=cpl),
+            reformat(raw_im, num_rx=num_rx, cfgs_per_loop=cpl),
+        )
+        rd = mxu.range_doppler_map_mxu(cube, rng_factors, dop_factors)
+        mag = mxu.cabs(mxu.C2(rd.re[0], rd.im[0]))
+        thr, _ = cfar_ops.os_2d(mag, **cfar_params)
+        r_i, v_i, valid, count = masked.mask_to_indices_2d(mag > thr, max_dets)
+        az = (
+            aoa(rd, az_idx, r_i, v_i, az_factors)
+            if az_idx.size else jnp.zeros(r_i.shape, jnp.float32)
+        )
+        el = (
+            aoa(rd, el_idx, r_i, v_i, el_factors)
+            if el_idx.size else jnp.zeros(r_i.shape, jnp.float32)
+        )
+        ranges = r_i.astype(jnp.float32) * range_res
+        vels = vel0 + v_i.astype(jnp.float32) * vel_res
+        pts = spherical_to_cartesian_flu(ranges, az, el, vels)
+        return PointCloudBatch(jnp.where(valid[:, None], pts, 0.0), valid, count)
+
+    def batch(raw_re, raw_im, altitude) -> Tuple[PointCloudBatch, VelocityBatch]:
+        pc = jax.vmap(point_cloud_frame)(raw_re, raw_im)
+        vel = vel_fn_single(raw_re, raw_im, altitude)
+        return pc, vel
+
+    return jax.jit(batch)

@@ -49,10 +49,8 @@ def main():
     logger = setup_logger()
     import jax
 
-    from mmwave_radar_processing_tpu.parallel import (
-        build_point_cloud_pipeline,
-        build_velocity_pipeline,
-    )
+    from mmwave_radar_processing_tpu.parallel import build_point_cloud_pipeline
+    from mmwave_radar_processing_tpu.parallel.full_pipeline import build_full_pipeline
 
     cfg = load_cfg(resolve_dir(args.radar_config, "CONFIG_DIRECTORY"),
                    args.array_geometry, args.array_direction)
@@ -62,8 +60,14 @@ def main():
     logger.info("%d frames, shape %s, backend=%s", len(paths), frame_shape,
                 jax.default_backend())
 
-    pc_fn = build_point_cloud_pipeline(cfg, max_dets=args.max_dets, backend="mxu")
-    vel_fn = None if args.no_velocity else build_velocity_pipeline(cfg)
+    if args.no_velocity:
+        pc_fn = build_point_cloud_pipeline(cfg, max_dets=args.max_dets,
+                                           backend="mxu")
+        full_fn = None
+    else:
+        # one dispatch yields both products (shared reformat/range DFT)
+        pc_fn = None
+        full_fn = build_full_pipeline(cfg, max_dets=args.max_dets)
 
     timer = StageTimer()
     fetcher = native_loader.SplitFramePrefetcher(
@@ -81,19 +85,19 @@ def main():
             im_b = np.concatenate([im_b, np.zeros((pad, *frame_shape), np.float32)])
 
         with timer.stage("h2d", items=b) as sink:
-            sink((jax.device_put(re_b), jax.device_put(im_b)))
-        re_d, im_d = jax.device_put(re_b), jax.device_put(im_b)
+            re_d, im_d = jax.device_put(re_b), jax.device_put(im_b)
+            sink((re_d, im_d))
 
-        with timer.stage("point_cloud", items=b) as sink:
-            pc = sink(pc_fn(re_d, im_d))
+        if full_fn is not None:
+            alts = jax.device_put(np.full(args.batch, args.altitude, np.float32))
+            with timer.stage("pointcloud+velocity", items=b) as sink:
+                pc, vb = sink(full_fn(re_d, im_d, alts))
+            all_vel.append(np.asarray(vb.velocity[:b]))
+        else:
+            with timer.stage("point_cloud", items=b) as sink:
+                pc = sink(pc_fn(re_d, im_d))
         all_points.append(np.asarray(pc.points[:b]))
         all_valid.append(np.asarray(pc.valid[:b]))
-
-        if vel_fn is not None:
-            alts = np.full(args.batch, args.altitude, np.float32)
-            with timer.stage("velocity", items=b) as sink:
-                vb = sink(vel_fn(re_d, im_d, jax.device_put(alts)))
-            all_vel.append(np.asarray(vb.velocity[:b]))
 
         n_done += b
         if n_done % (args.batch * 4) == 0:

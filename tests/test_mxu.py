@@ -407,3 +407,38 @@ def test_strip_map_pipeline_matches_object_api(flagship_config, rng):
     ours_crop = full[proc.valid_ranges_slice, proc.valid_angles_slice]
     np.testing.assert_allclose(ours_crop, ref_crop, rtol=2e-3,
                                atol=2e-3 * ref_crop.max())
+
+
+def test_full_pipeline_combines_products(flagship_config):
+    from mmwave_radar_processing_tpu.data import ground_scene, simulate_frame
+    from mmwave_radar_processing_tpu.parallel.full_pipeline import build_full_pipeline
+    from mmwave_radar_processing_tpu.parallel import (
+        build_point_cloud_pipeline,
+        build_velocity_pipeline,
+    )
+
+    rng = np.random.default_rng(6)
+    ego = np.array([0.5, 0.1, 0.0])
+    raws = [
+        simulate_frame(flagship_config,
+                       ground_scene(flagship_config, 1.2, ego, num_patches=48,
+                                    rng=rng), rng)
+        for _ in range(2)
+    ]
+    raw = np.stack(raws)
+    re = np.real(raw).astype(np.float32)
+    im = np.imag(raw).astype(np.float32)
+    alts = np.full(2, 1.2, np.float32)
+
+    full = build_full_pipeline(flagship_config, max_dets=64)
+    pc, vel = full(re, im, alts)
+
+    ref_pc = build_point_cloud_pipeline(flagship_config, max_dets=64,
+                                        backend="mxu")(re, im)
+    ref_vel = build_velocity_pipeline(flagship_config)(re, im, alts)
+
+    np.testing.assert_array_equal(np.asarray(pc.count), np.asarray(ref_pc.count))
+    np.testing.assert_allclose(np.asarray(pc.points), np.asarray(ref_pc.points),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vel.velocity),
+                               np.asarray(ref_vel.velocity), rtol=1e-5, atol=1e-5)
