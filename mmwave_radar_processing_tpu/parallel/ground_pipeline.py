@@ -1,0 +1,189 @@
+"""Fused ground-gated point-cloud pipeline (the RadVel headline detector).
+
+The reference's headline analysis flow detects with
+``RangeDopplerGroundDetector``: a stateful altimeter tracks the ground range,
+gates the RD rows to ``[altitude, altitude/cos 60deg]``, and a 1D OS-CFAR runs
+along each gated Doppler row (``range_doppler_ground_detector.py:72-121``).
+
+This module runs that whole chain as one ``lax.scan`` over a recording —
+altimeter state on device, every transform split-complex MXU, the zoom
+refinement using traced-band DTFT factors — emitting fixed-capacity point
+clouds and the tracked altitude per frame.  Matches the object API
+(``Altimeter`` + ``RangeDopplerGroundDetector`` + ``PointCloudGenerator``)
+on identical inputs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmwave_radar_processing_tpu.config import RadarConfig, grids
+from mmwave_radar_processing_tpu.ops import cfar as cfar_ops, masked, mxu
+from mmwave_radar_processing_tpu.ops import peaks as peaks_ops
+from mmwave_radar_processing_tpu.parallel.pipeline import PointCloudBatch
+from mmwave_radar_processing_tpu.processors.point_cloud import (
+    spherical_to_cartesian_flu,
+)
+from mmwave_radar_processing_tpu.processors.virtual_array import reformat
+
+
+class GroundPipelineOut(NamedTuple):
+    points: jax.Array  # (T, K, 4)
+    valid: jax.Array  # (T, K)
+    count: jax.Array  # (T,)
+    altitude: jax.Array  # (T,)
+    final_altitude: jax.Array  # () carry for chunked processing
+
+
+def build_ground_point_cloud_pipeline(
+    cfg: RadarConfig,
+    *,
+    az_antenna_idxs: Sequence[int] = (0, 3, 4, 7),
+    el_antenna_idxs: Sequence[int] = (9, 8, 5, 4),
+    vel_cfar_params: Optional[dict] = None,
+    min_altitude_m: float = 0.25,
+    zoom_search_region_m: float = 0.2,
+    altitude_search_limit_m: float = 0.4,
+    range_bias: float = 0.0,
+    precise_est_enabled: bool = True,
+    max_dets: int = 128,
+    num_angle_bins: int = 64,
+    shift_az_resp: bool = True,
+    shift_el_resp: bool = False,
+    reformat_input: bool = True,
+):
+    """Compile ``(raw_re[T,...], raw_im[T,...]) -> GroundPipelineOut``."""
+    vel_cfar_params = vel_cfar_params or dict(
+        num_train=12, num_guard=4, rho=0.5, alpha=15.0
+    )
+    ns, loops = cfg.num_adc_samples, cfg.frame.loops
+    num_rx, cpl = cfg.num_rx_antennas, cfg.chirp_cfgs_per_loop
+    az_idx = np.asarray(az_antenna_idxs, int)
+    el_idx = np.asarray(el_antenna_idxs, int)
+    angle_bins = jnp.asarray(grids.angle_bins(num_angle_bins))
+    plain_bins = jnp.asarray(grids.range_bins(cfg, variant="plain"))
+    eps_bins = jnp.asarray(grids.range_bins(cfg, variant="eps"))
+    range_res = cfg.range_res_m
+    vel0, vel_res = -cfg.vel_max_m_s, cfg.vel_res_m_s
+    max_plain = float(np.max(grids.range_bins(cfg, variant="plain")))
+
+    rng_factors, dop_factors = mxu.range_doppler_factors(ns, loops)
+    alt_rng_factors = mxu.dft_factors(ns, window=np.hanning(ns))
+    az_factors = mxu.aoa_factors(len(az_idx) or 1, num_angle_bins, shift_az_resp)
+    el_factors = mxu.aoa_factors(len(el_idx) or 1, num_angle_bins, shift_el_resp)
+    # altimeter zoom frequency mapping (reference range_resp.py:84-89)
+    zoom_fs = 1.0 / cfg.range_res_m
+    zoom_scale = zoom_fs / cfg.range_max_m
+
+    def find_ground_peak(peak_ranges, peak_valid, current):
+        ok = (
+            peak_valid
+            & (peak_ranges >= min_altitude_m)
+            & (jnp.abs(peak_ranges - current) <= altitude_search_limit_m)
+        )
+        gp = jnp.min(jnp.where(ok, peak_ranges, jnp.inf))
+        return jnp.where(jnp.isfinite(gp), gp, -1.0)
+
+    def altimeter_step(current, cube: mxu.C2):
+        """MXU altimeter update (mirrors ``Altimeter.step``)."""
+        chirp0 = mxu.C2(cube.re[:, :, 0], cube.im[:, :, 0])
+        spec = mxu.dft_apply(chirp0, alt_rng_factors, axis=1)
+        coarse = jnp.mean(mxu.cabs(spec), axis=0)
+        db = 20.0 * jnp.log10(coarse + 1e-12)
+        idx, _, valid = peaks_ops.top_peaks_within_threshold(
+            db, max_peaks=3, min_prominence=6.0, threshold_db=20.0
+        )
+        gp = find_ground_peak(jnp.where(valid, plain_bins[idx], 0.0), valid, current)
+
+        if not precise_est_enabled:
+            return jnp.where(gp >= 0, gp, current)
+
+        def refine(gp_val):
+            lo = jnp.maximum(1e-6, gp_val - zoom_search_region_m)
+            hi = jnp.minimum(max_plain - 1e-6, gp_val + zoom_search_region_m)
+            factors = mxu.zoom_dft_factors_dynamic(
+                lo * zoom_scale, hi * zoom_scale, n=ns, m=ns, fs=zoom_fs,
+                window=np.hanning(ns),
+            )
+            zspec = mxu.dft_apply(chirp0, factors, axis=1)
+            zmag = jnp.mean(mxu.cabs(zspec), axis=0)
+            zdb = 20.0 * jnp.log10(zmag + 1e-12)
+            zidx, _, zvalid = peaks_ops.top_peaks_within_threshold(
+                zdb, max_peaks=2, min_prominence=6.0, threshold_db=20.0
+            )
+            zbins = lo + zidx.astype(jnp.float32) * (hi - lo) / (ns - 1)
+            refined = find_ground_peak(
+                jnp.where(zvalid, zbins, 0.0), zvalid, current
+            )
+            return jnp.where(refined > 0, refined, current)
+
+        return jax.lax.cond(gp >= 0, refine, lambda _: current, gp)
+
+    def step(current_alt, frame):
+        raw_re, raw_im = frame
+        if reformat_input:
+            cube = mxu.C2(
+                reformat(raw_re, num_rx=num_rx, cfgs_per_loop=cpl),
+                reformat(raw_im, num_rx=num_rx, cfgs_per_loop=cpl),
+            )
+        else:
+            cube = mxu.C2(raw_re, raw_im)
+
+        new_alt = altimeter_step(current_alt, cube)
+        corrected = new_alt + range_bias
+
+        rd = mxu.range_doppler_map_mxu(cube, rng_factors, dop_factors)
+        mag = mxu.cabs(mxu.C2(rd.re[0], rd.im[0]))
+
+        # altitude range gate (reference :89-103, nearest-bin inclusive)
+        min_idx = jnp.argmin(jnp.abs(eps_bins - corrected))
+        max_rng = jnp.minimum(jnp.max(eps_bins),
+                              corrected / jnp.cos(jnp.deg2rad(60.0)))
+        max_idx = jnp.argmin(jnp.abs(eps_bins - max_rng))
+        rows = jnp.arange(eps_bins.shape[0])
+        row_gate = (rows >= min_idx) & (rows <= max_idx)
+
+        vel_thr = jax.vmap(
+            lambda row: cfar_ops.os_1d(row, **{
+                "num_train": int(vel_cfar_params["num_train"]),
+                "num_guard": int(vel_cfar_params["num_guard"]),
+                "rho": float(vel_cfar_params["rho"]),
+                "alpha": float(vel_cfar_params["alpha"]),
+            })[0]
+        )(mag)
+        det_mask = row_gate[:, None] & (mag > vel_thr)
+        r_i, v_i, valid, count = masked.mask_to_indices_2d(det_mask, max_dets)
+
+        def aoa(idxs, factors):
+            snap = mxu.C2(rd.re[idxs][:, r_i, v_i].T, rd.im[idxs][:, r_i, v_i].T)
+            spec = mxu.dft_apply(snap, factors, axis=-1)
+            return angle_bins[jnp.argmax(mxu.cabs2(spec), axis=1)]
+
+        az = aoa(az_idx, az_factors) if az_idx.size else jnp.zeros(
+            r_i.shape, jnp.float32
+        )
+        el = aoa(el_idx, el_factors) if el_idx.size else jnp.zeros(
+            r_i.shape, jnp.float32
+        )
+        ranges = r_i.astype(jnp.float32) * range_res
+        vels = vel0 + v_i.astype(jnp.float32) * vel_res
+        pts = spherical_to_cartesian_flu(ranges, az, el, vels)
+        pts = jnp.where(valid[:, None], pts, 0.0)
+        return new_alt, (pts, valid, count, corrected)
+
+    def pipeline(raw_re, raw_im, init_altitude=None):
+        init = (
+            jnp.asarray(min_altitude_m, jnp.float32)
+            if init_altitude is None
+            else jnp.asarray(init_altitude, jnp.float32)
+        )
+        final, (pts, valid, count, alts) = jax.lax.scan(
+            step, init, (raw_re, raw_im)
+        )
+        return GroundPipelineOut(pts, valid, count, alts, final)
+
+    return jax.jit(pipeline)

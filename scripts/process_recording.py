@@ -44,6 +44,10 @@ def main():
     p.add_argument("--max-dets", type=int, default=128)
     p.add_argument("--loader-threads", type=int, default=8)
     p.add_argument("--no-velocity", action="store_true")
+    p.add_argument("--detector", choices=["2d", "ground"], default="2d",
+                   help="2d: OS-CFAR-2D detector + ADC-path velocity; "
+                        "ground: altitude-gated detector (stateful altimeter "
+                        "scan) + points-path velocity")
     args = p.parse_args()
 
     logger = setup_logger()
@@ -51,6 +55,9 @@ def main():
 
     from mmwave_radar_processing_tpu.parallel import build_point_cloud_pipeline
     from mmwave_radar_processing_tpu.parallel.full_pipeline import build_full_pipeline
+    from mmwave_radar_processing_tpu.parallel.ground_pipeline import (
+        build_ground_point_cloud_pipeline,
+    )
 
     cfg = load_cfg(resolve_dir(args.radar_config, "CONFIG_DIRECTORY"),
                    args.array_geometry, args.array_direction)
@@ -60,7 +67,11 @@ def main():
     logger.info("%d frames, shape %s, backend=%s", len(paths), frame_shape,
                 jax.default_backend())
 
-    if args.no_velocity:
+    ground_fn = None
+    if args.detector == "ground":
+        ground_fn = build_ground_point_cloud_pipeline(cfg, max_dets=args.max_dets)
+        pc_fn = full_fn = None
+    elif args.no_velocity:
         pc_fn = build_point_cloud_pipeline(cfg, max_dets=args.max_dets,
                                            backend="mxu")
         full_fn = None
@@ -74,7 +85,8 @@ def main():
         paths, frame_shape, batch=args.batch, nthreads=args.loader_threads
     )
 
-    all_points, all_valid, all_vel = [], [], []
+    all_points, all_valid, all_vel, all_alt = [], [], [], []
+    carry_alt = None
     n_done = 0
     for re_b, im_b in fetcher:
         b = re_b.shape[0]
@@ -88,7 +100,17 @@ def main():
             re_d, im_d = jax.device_put(re_b), jax.device_put(im_b)
             sink((re_d, im_d))
 
-        if full_fn is not None:
+        if ground_fn is not None:
+            with timer.stage("ground_point_cloud", items=b) as sink:
+                out = sink(
+                    ground_fn(re_d, im_d)
+                    if carry_alt is None
+                    else ground_fn(re_d, im_d, carry_alt)
+                )
+            carry_alt = out.final_altitude
+            pc = out
+            all_alt.append(np.asarray(out.altitude[:b]))
+        elif full_fn is not None:
             alts = jax.device_put(np.full(args.batch, args.altitude, np.float32))
             with timer.stage("pointcloud+velocity", items=b) as sink:
                 pc, vb = sink(full_fn(re_d, im_d, alts))
@@ -109,6 +131,8 @@ def main():
     }
     if all_vel:
         out["velocity"] = np.concatenate(all_vel)
+    if all_alt:
+        out["altitude"] = np.concatenate(all_alt)
     np.savez_compressed(args.out, **out)
     logger.info("wrote %s (%d frames)", args.out, n_done)
     timer.log_report()

@@ -442,3 +442,57 @@ def test_full_pipeline_combines_products(flagship_config):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(vel.velocity),
                                np.asarray(ref_vel.velocity), rtol=1e-5, atol=1e-5)
+
+
+def test_ground_pipeline_matches_object_api(flagship_config):
+    """Fused ground-detector pipeline == Altimeter+GroundDetector+PCG chain."""
+    from mmwave_radar_processing_tpu.data import ground_scene, simulate_frame
+    from mmwave_radar_processing_tpu.parallel.ground_pipeline import (
+        build_ground_point_cloud_pipeline,
+    )
+    from mmwave_radar_processing_tpu.processors import (
+        PointCloudGenerator,
+        VirtualArrayReformatter,
+    )
+
+    rng = np.random.default_rng(3)
+    ego = np.array([0.4, 0.1, 0.0])
+    raws = []
+    alt = 0.4
+    for i in range(4):
+        alt = min(1.2, alt + 0.15)
+        scene = ground_scene(flagship_config, altitude_m=alt, ego_vel=ego,
+                             num_patches=48, rng=rng, noise_sigma=0.03)
+        raws.append(simulate_frame(flagship_config, scene, rng))
+    raw = np.stack(raws)
+
+    params = dict(num_train=12, num_guard=4, rho=0.5, alpha=8.0)
+    fn = build_ground_point_cloud_pipeline(
+        flagship_config, vel_cfar_params=params, max_dets=128,
+    )
+    out = fn(np.real(raw).astype(np.float32), np.imag(raw).astype(np.float32))
+
+    var = VirtualArrayReformatter(flagship_config)
+    pcg = PointCloudGenerator(
+        flagship_config,
+        az_antenna_idxs=[0, 3, 4, 7], el_antenna_idxs=[9, 8, 5, 4],
+        detector_type="range_doppler_ground_detector",
+        detector_params=dict(
+            vel_cfar_type="os_cfar_1d", vel_cfar_params=params,
+            altimeter_params=dict(min_altitude_m=0.25, zoom_search_region_m=0.2,
+                                  altitude_search_limit_m=0.4, range_bias=0.0,
+                                  precise_est_enabled=True),
+        ),
+    )
+    for i in range(4):
+        virt = np.asarray(var.process(raw[i]))
+        ref_pts = pcg.process(virt)
+        ours_valid = np.asarray(out.valid[i])
+        ours_pts = np.asarray(out.points[i])[ours_valid]
+        assert ours_pts.shape == ref_pts.shape, (i, ours_pts.shape, ref_pts.shape)
+        np.testing.assert_allclose(ours_pts, ref_pts, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            float(out.altitude[i]),
+            pcg.detector.altimeter.current_altitude_corrected_m,
+            atol=5e-3,
+        )
