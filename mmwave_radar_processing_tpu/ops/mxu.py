@@ -23,7 +23,6 @@ tests/test_mxu.py).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

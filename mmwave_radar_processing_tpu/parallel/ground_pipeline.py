@@ -24,7 +24,6 @@ import numpy as np
 from mmwave_radar_processing_tpu.config import RadarConfig, grids
 from mmwave_radar_processing_tpu.ops import cfar as cfar_ops, masked, mxu
 from mmwave_radar_processing_tpu.ops import peaks as peaks_ops
-from mmwave_radar_processing_tpu.parallel.pipeline import PointCloudBatch
 from mmwave_radar_processing_tpu.processors.point_cloud import (
     spherical_to_cartesian_flu,
 )

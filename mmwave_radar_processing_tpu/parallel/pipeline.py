@@ -12,7 +12,6 @@ thousands of frames per dispatch instead.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Sequence
 
 import jax
@@ -21,7 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mmwave_radar_processing_tpu.config import RadarConfig, grids
-from mmwave_radar_processing_tpu.ops import cfar as cfar_ops, masked, windows
+from mmwave_radar_processing_tpu.ops import cfar as cfar_ops, masked
 from mmwave_radar_processing_tpu.processors.point_cloud import (
     spherical_to_cartesian_flu,
 )

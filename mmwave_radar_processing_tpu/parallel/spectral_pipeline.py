@@ -18,7 +18,7 @@ Each matches its object-API processor on identical inputs
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,17 +22,15 @@ reference's nested loops / ``np.where``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mmwave_radar_processing_tpu.config import RadarConfig, grids
+from mmwave_radar_processing_tpu.config import RadarConfig
 from mmwave_radar_processing_tpu.ops import cfar as cfar_ops, masked
 from mmwave_radar_processing_tpu.processors.altimeter import Altimeter, AltimeterState
-from mmwave_radar_processing_tpu.processors.base import Processor
 from mmwave_radar_processing_tpu.processors.range_doppler import (
     RangeDopplerProcessor,
     range_doppler_map,

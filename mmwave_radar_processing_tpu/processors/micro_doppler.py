@@ -9,8 +9,6 @@ processed with one ``lax.scan`` instead of Python-side mutation.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

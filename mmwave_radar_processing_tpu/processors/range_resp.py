@@ -14,11 +14,8 @@ TPU re-design of the reference ``RangeProcessor`` (``processors/range_resp.py``)
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mmwave_radar_processing_tpu.config import RadarConfig, grids
 from mmwave_radar_processing_tpu.ops import czt, peaks as peaks_ops, windows

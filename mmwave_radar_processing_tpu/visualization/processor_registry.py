@@ -8,8 +8,8 @@ view payload (the ``view_keys`` dynamic payload protocol).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple, Type
+from dataclasses import dataclass
+from typing import Dict, Tuple, Type
 
 from mmwave_radar_processing_tpu.processors.altimeter import Altimeter
 from mmwave_radar_processing_tpu.processors.detection import (
