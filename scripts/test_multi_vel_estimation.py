@@ -25,8 +25,10 @@ import yaml
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from mmwave_radar_processing_tpu.utils.platform import ensure_complex_support
+from mmwave_radar_processing_tpu.utils.env import load_env, resolve_dir
 
 ensure_complex_support()
+load_env()
 
 from mmwave_radar_processing_tpu.analysis import VelocityAnalyzer
 from mmwave_radar_processing_tpu.config import load_cfg
@@ -64,6 +66,23 @@ def analyze_dataset(cfg, dataset_path, params, logger):
     return np.array(ests), np.array(gts)
 
 
+def _resolve_radar_cfg(radar_cfg_file: str, yaml_path: str) -> str:
+    """Resolve a relative radar .cfg: CONFIG_DIRECTORY, YAML-relative, repo."""
+    if os.path.isabs(radar_cfg_file):
+        return radar_cfg_file
+    candidates = [
+        resolve_dir(radar_cfg_file, "CONFIG_DIRECTORY"),
+        os.path.join(os.path.dirname(os.path.abspath(yaml_path)), "..",
+                     "configs", radar_cfg_file),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     "configs", radar_cfg_file),
+    ]
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    return candidates[-1]
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True)
@@ -73,10 +92,8 @@ def main():
     with open(args.config) as f:
         params = yaml.safe_load(f)
 
-    root = os.path.join(os.path.dirname(os.path.abspath(args.config)), "..")
-    radar_cfg_file = params["radar"]["config_file"]
-    if not os.path.isabs(radar_cfg_file):
-        radar_cfg_file = os.path.join(root, "configs", radar_cfg_file)
+    radar_cfg_file = _resolve_radar_cfg(params["radar"]["config_file"],
+                                        args.config)
     cfg = load_cfg(
         radar_cfg_file,
         params["radar"].get("array_geometry", "standard"),

@@ -38,6 +38,23 @@ from mmwave_radar_processing_tpu.processors.virtual_array import VirtualArrayRef
 from mmwave_radar_processing_tpu.utils.logger import setup_logger
 
 
+def _resolve_radar_cfg(radar_cfg_file: str, yaml_path: str) -> str:
+    """Resolve a relative radar .cfg: CONFIG_DIRECTORY, YAML-relative, repo."""
+    if os.path.isabs(radar_cfg_file):
+        return radar_cfg_file
+    candidates = [
+        resolve_dir(radar_cfg_file, "CONFIG_DIRECTORY"),
+        os.path.join(os.path.dirname(os.path.abspath(yaml_path)), "..",
+                     "configs", radar_cfg_file),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     "configs", radar_cfg_file),
+    ]
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    return candidates[-1]
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default="analyzer_configs/velocity_analysis_config.yaml")
@@ -59,11 +76,9 @@ def main():
         os.path.join(params["dataset"]["path"], params["dataset"]["name"]),
         "DATASET_DIRECTORY",
     )
-    radar_cfg_file = args.radar_config or params["radar"]["config_file"]
-    if not os.path.isabs(radar_cfg_file):
-        radar_cfg_file = resolve_dir(radar_cfg_file, "CONFIG_DIRECTORY")
-    if not os.path.isabs(radar_cfg_file):
-        radar_cfg_file = os.path.join(root, "configs", radar_cfg_file)
+    radar_cfg_file = _resolve_radar_cfg(
+        args.radar_config or params["radar"]["config_file"], args.config
+    )
 
     cfg = load_cfg(
         radar_cfg_file,
