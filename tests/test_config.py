@@ -100,3 +100,56 @@ def test_parity_vs_reference_config_manager(cfg_name):
     assert ours.frame.loops == ref.frameCfg_loops
     assert ours.frame.start_index == ref.frameCfg_start_index
     assert ours.frame.end_index == ref.frameCfg_end_index
+
+
+# --------------------------------------------------------------------------- #
+# shipped config catalog
+# --------------------------------------------------------------------------- #
+
+REFERENCE_CATALOG_NAMES = [
+    # every config name the reference ships (reference configs/ listing);
+    # our catalog provides a fresh-designed profile under each name
+    "1843_RaGNNarok.cfg", "1843_RaGNNarok_UAV_10m.cfg",
+    "1843_RaGNNarok_UAV_50m.cfg", "1843_RaGNNarok_UAV_5m.cfg",
+    "1843_RadVel.cfg", "1843_RadVel_10Hz.cfg", "1843_RadVel_10Hz_lr.cfg",
+    "1843_RadVel_10Hz_lr_SAR.cfg", "1843_RadVel_20Hz.cfg",
+    "1843_RadVel_5Hz.cfg", "1843_human_movement.cfg", "1843_vel_nav.cfg",
+    "1843_vel_sr.cfg", "6843_RadVel_ods_10Hz.cfg", "6843_RadVel_ods_20Hz.cfg",
+    "6843_RadVel_ods_5Hz.cfg", "6843_hand_ods_30Hz.cfg", "6843_vel_sr.cfg",
+    "RadCloud.cfg", "RadCloud_original.cfg", "RadSAR.cfg",
+    "RadSAR_1843_official.cfg", "RadSAR_6843_ods_altitude_10Hz_official.cfg",
+    "RadSAR_lr.cfg", "RadarHD.cfg",
+]
+
+
+def test_catalog_covers_reference_names():
+    shipped = {os.path.basename(p) for p in glob.glob(os.path.join(CONFIG_DIR, "*.cfg"))}
+    missing = set(REFERENCE_CATALOG_NAMES) - shipped
+    assert not missing, f"catalog missing reference config names: {sorted(missing)}"
+
+
+@pytest.mark.parametrize(
+    "cfg_name", [os.path.basename(p) for p in sorted(glob.glob(os.path.join(CONFIG_DIR, "*.cfg")))]
+)
+def test_catalog_config_self_consistent(cfg_name):
+    """Every shipped config must be physically realizable and parseable."""
+    cfg = load_cfg(os.path.join(CONFIG_DIR, cfg_name))
+    p = cfg.profile(0)
+
+    assert cfg.range_res_m > 0 and cfg.range_max_m > 0
+    assert cfg.vel_res_m_s > 0 and cfg.vel_max_m_s > 0
+    assert cfg.num_rx_antennas == 4
+    # chirpCfg count matches the frameCfg loop window
+    assert len(cfg.chirps) == cfg.chirp_cfgs_per_loop
+    # each chirpCfg enables exactly one TX (TDM MIMO), all within the TX mask
+    for chirp in cfg.chirps:
+        assert bin(chirp.tx_mask).count("1") == 1
+        assert chirp.tx_mask & cfg.tx_chan_mask == chirp.tx_mask
+    # ADC sampling window fits inside the ramp
+    sampling_us = p.adc_samples / (p.sample_rate_ksps * 1e3) * 1e6
+    assert sampling_us <= p.ramp_end_time_us - p.adc_start_time_us + 1e-9
+    # sweep bandwidth within a 4 GHz chirp
+    assert p.freq_slope_mhz_us * p.ramp_end_time_us <= 4000 + 1e-9
+    # active chirping fits inside the frame period
+    active_ms = cfg.chirps_per_frame * cfg.chirp_period_us * 1e-3
+    assert active_ms < cfg.frame.periodicity_ms
