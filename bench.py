@@ -74,10 +74,13 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=10)
-    parser.add_argument("--metric", choices=["pointcloud", "velocity"],
+    parser.add_argument("--metric",
+                        choices=["pointcloud", "velocity", "combined", "ground"],
                         default="pointcloud",
                         help="pointcloud: RD+CFAR+AoA north star; "
-                             "velocity: fused RadVel ego-velocity pipeline")
+                             "velocity: fused RadVel ego-velocity pipeline; "
+                             "combined: point clouds + ego-velocity per frame; "
+                             "ground: stateful altimeter-gated ground scan")
     parser.add_argument("--measure-baseline", action="store_true")
     args = parser.parse_args()
 
@@ -114,7 +117,7 @@ def main():
         )
         bench_args = (raw_re, raw_im)
         metric_name = "radar frames/s/chip (range-Doppler+CFAR+AoA)"
-    else:
+    elif args.metric == "velocity":
         from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
             build_velocity_pipeline,
         )
@@ -123,6 +126,23 @@ def main():
         altitudes = jax.device_put(np.full(args.batch, 1.2, np.float32))
         bench_args = (raw_re, raw_im, altitudes)
         metric_name = "radar frames/s/chip (fused RadVel ego-velocity)"
+    elif args.metric == "combined":
+        from mmwave_radar_processing_tpu.parallel.full_pipeline import (
+            build_full_pipeline,
+        )
+
+        fn = build_full_pipeline(cfg)
+        altitudes = jax.device_put(np.full(args.batch, 1.2, np.float32))
+        bench_args = (raw_re, raw_im, altitudes)
+        metric_name = "radar frames/s/chip (point clouds + ego-velocity)"
+    else:  # ground: one lax.scan over the recording (stateful altimeter gate)
+        from mmwave_radar_processing_tpu.parallel.ground_pipeline import (
+            build_ground_point_cloud_pipeline,
+        )
+
+        fn = build_ground_point_cloud_pipeline(cfg)
+        bench_args = (raw_re, raw_im)
+        metric_name = "radar frames/s/chip (altimeter-gated ground scan)"
 
     # warmup / compile
     jax.block_until_ready(fn(*bench_args))
