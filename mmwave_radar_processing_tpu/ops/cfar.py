@@ -236,3 +236,69 @@ def os_2d(
         _pad_valid_2d(alpha * noise, edge_r, edge_d, jnp.inf),
         _pad_valid_2d(noise, edge_r, edge_d, 0.0),
     )
+
+
+# --------------------------------------------------------------------------- #
+# detection-only OS-CFAR (no rank selection)
+# --------------------------------------------------------------------------- #
+# For detection, the rank statistic never needs to be computed:
+#
+#   x > alpha * rank_k(train)   <=>   #{t in train : alpha*t < x} >= k
+#
+# (alpha > 0: multiplication by a positive float constant is weakly monotone,
+# so {t : alpha*t < x} is downward-closed in sorted order and its size reaches
+# k exactly when alpha * (k-th smallest) < x — bit-exact against the
+# threshold path, ties and all; verified in tests/test_ops.py.)  Counting is a
+# single pass over the training offsets — on TPU ~50x fewer vector ops than
+# the bitonic rank selection and needs no Pallas kernel at all.  Use these in
+# fused pipelines where only the detection mask matters; the threshold-
+# returning variants above remain for the reference-compatible detector API.
+
+
+@partial(jax.jit, static_argnames=("num_train", "num_guard", "rho", "alpha"))
+def os_1d_detect(
+    x: jax.Array, *, num_train: int, num_guard: int, rho: float, alpha: float
+) -> jax.Array:
+    """OS-CFAR 1D detection mask (edges False, the +inf-threshold convention).
+
+    Accepts leading batch dims: ``[..., L] -> [..., L]`` bool.
+    """
+    assert alpha > 0.0
+    edge = num_train + num_guard
+    win = 2 * edge + 1
+    if x.shape[-1] < win:
+        return jnp.zeros(x.shape, bool)
+    n_out = x.shape[-1] - win + 1
+    k = os_rank(rho, 2 * num_train)
+    center = x[..., edge : edge + n_out]
+    count = jnp.zeros(center.shape, jnp.int32)
+    for j in _train_cols_1d(num_train, num_guard):
+        count = count + (alpha * x[..., j : j + n_out] < center)
+    pad = [(0, 0)] * (x.ndim - 1) + [(edge, edge)]
+    return jnp.pad(count >= k, pad, constant_values=False)
+
+
+@partial(jax.jit, static_argnames=("num_train", "num_guard", "rho", "alpha"))
+def os_2d_detect(
+    x: jax.Array, *, num_train, num_guard, rho: float, alpha: float
+) -> jax.Array:
+    """OS-CFAR 2D detection mask (edges False).
+
+    Accepts leading batch dims: ``[..., R, D] -> [..., R, D]`` bool.
+    """
+    assert alpha > 0.0
+    edge_r = num_train[0] + num_guard[0]
+    edge_d = num_train[1] + num_guard[1]
+    win_r, win_d = 2 * edge_r + 1, 2 * edge_d + 1
+    if x.shape[-2] < win_r or x.shape[-1] < win_d:
+        return jnp.zeros(x.shape, bool)
+    r_out = x.shape[-2] - win_r + 1
+    d_out = x.shape[-1] - win_d + 1
+    mask = _train_mask_2d(num_train, num_guard)
+    k = os_rank(rho, int(mask.sum()))
+    center = x[..., edge_r : edge_r + r_out, edge_d : edge_d + d_out]
+    count = jnp.zeros(center.shape, jnp.int32)
+    for i, j in np.argwhere(mask):
+        count = count + (alpha * x[..., i : i + r_out, j : j + d_out] < center)
+    pad = [(0, 0)] * (x.ndim - 2) + [(edge_r, edge_r), (edge_d, edge_d)]
+    return jnp.pad(count >= k, pad, constant_values=False)

@@ -76,8 +76,8 @@ def build_full_pipeline(
         )
         rd = mxu.range_doppler_map_mxu(cube, rng_factors, dop_factors)
         mag = mxu.cabs(mxu.C2(rd.re[0], rd.im[0]))
-        thr, _ = cfar_ops.os_2d(mag, **cfar_params)
-        r_i, v_i, valid, count = masked.mask_to_indices_2d(mag > thr, max_dets)
+        det = cfar_ops.os_2d_detect(mag, **cfar_params)
+        r_i, v_i, valid, count = masked.mask_to_indices_2d(det, max_dets)
         az = (
             aoa(rd, az_idx, r_i, v_i, az_factors)
             if az_idx.size else jnp.zeros(r_i.shape, jnp.float32)

@@ -146,15 +146,14 @@ def build_ground_point_cloud_pipeline(
         rows = jnp.arange(eps_bins.shape[0])
         row_gate = (rows >= min_idx) & (rows <= max_idx)
 
-        vel_thr = jax.vmap(
-            lambda row: cfar_ops.os_1d(row, **{
-                "num_train": int(vel_cfar_params["num_train"]),
-                "num_guard": int(vel_cfar_params["num_guard"]),
-                "rho": float(vel_cfar_params["rho"]),
-                "alpha": float(vel_cfar_params["alpha"]),
-            })[0]
-        )(mag)
-        det_mask = row_gate[:, None] & (mag > vel_thr)
+        vel_det = cfar_ops.os_1d_detect(
+            mag,
+            num_train=int(vel_cfar_params["num_train"]),
+            num_guard=int(vel_cfar_params["num_guard"]),
+            rho=float(vel_cfar_params["rho"]),
+            alpha=float(vel_cfar_params["alpha"]),
+        )
+        det_mask = row_gate[:, None] & vel_det
         r_i, v_i, valid, count = masked.mask_to_indices_2d(det_mask, max_dets)
 
         def aoa(idxs, factors):

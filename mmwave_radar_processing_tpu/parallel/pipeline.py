@@ -103,8 +103,8 @@ def build_point_cloud_pipeline(
             cube = raw_cube
         rd = range_doppler_map(cube)
         mag = jnp.abs(rd[0])
-        thr, _ = cfar_ops.os_2d(mag, **cfar_params)
-        r_i, v_i, valid, count = masked.mask_to_indices_2d(mag > thr, max_dets)
+        det = cfar_ops.os_2d_detect(mag, **cfar_params)
+        r_i, v_i, valid, count = masked.mask_to_indices_2d(det, max_dets)
         az = (
             aoa(rd, az_idx, r_i, v_i, shift_az_resp)
             if az_idx.size
@@ -175,8 +175,10 @@ def _build_pipeline_mxu(
             cube = mxu.C2(raw_re, raw_im)
         rd = mxu.range_doppler_map_mxu(cube, rng_factors, dop_factors)
         mag = mxu.cabs(mxu.C2(rd.re[0], rd.im[0]))
-        thr, _ = cfar_ops.os_2d(mag, **cfar_params)
-        r_i, v_i, valid, count = masked.mask_to_indices_2d(mag > thr, max_dets)
+        # detection-only counting CFAR: bit-exact vs the threshold path,
+        # no rank selection on the hot path (ops/cfar.py os_2d_detect)
+        det = cfar_ops.os_2d_detect(mag, **cfar_params)
+        r_i, v_i, valid, count = masked.mask_to_indices_2d(det, max_dets)
         az = (
             aoa(rd, az_idx, r_i, v_i, az_factors)
             if az_idx.size

@@ -309,3 +309,49 @@ def test_ransac_masked_and_degenerate(rng):
     )
     assert not bool(res.ok)
     np.testing.assert_array_equal(np.asarray(res.coef), 0.0)
+
+
+# --------------------------------------------------------------------------- #
+# detection-only counting CFAR
+# --------------------------------------------------------------------------- #
+
+def test_os_2d_detect_bit_exact_vs_threshold_path():
+    """count(alpha*t < x) >= k  ==  x > alpha*rank_k  (ties included)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    # quantized values force exact ties across training windows
+    x = (np.round(rng.exponential(1.0, (4, 63, 70)) * 8) / 8).astype(np.float32)
+    p = dict(num_train=(5, 5), num_guard=(3, 2), rho=0.7, alpha=4.0)
+    thr, _ = jax.vmap(lambda m: cfar.os_2d(m, **p, method="sort"))(x)
+    ref_mask = np.asarray(x > np.asarray(thr))
+    det = np.asarray(cfar.os_2d_detect(jnp.asarray(x), **p))
+    np.testing.assert_array_equal(det, ref_mask)
+    assert det.sum() > 0
+
+
+def test_os_1d_detect_bit_exact_vs_threshold_path():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    x = (np.round(rng.exponential(1.0, (8, 256)) * 4) / 4).astype(np.float32)
+    p = dict(num_train=12, num_guard=4, rho=0.5, alpha=2.5)
+    thr, _ = jax.vmap(lambda m: cfar.os_1d(m, **p))(x)
+    ref_mask = np.asarray(x > np.asarray(thr))
+    det = np.asarray(cfar.os_1d_detect(jnp.asarray(x), **p))
+    np.testing.assert_array_equal(det, ref_mask)
+    assert det.sum() > 0
+
+
+def test_os_detect_small_input_all_false():
+    import jax.numpy as jnp
+
+    assert not np.asarray(
+        cfar.os_1d_detect(jnp.ones(5), num_train=4, num_guard=2, rho=0.5, alpha=2.0)
+    ).any()
+    assert not np.asarray(
+        cfar.os_2d_detect(jnp.ones((5, 5)), num_train=(3, 3), num_guard=(1, 1),
+                          rho=0.5, alpha=2.0)
+    ).any()
