@@ -124,3 +124,44 @@ def ca_cfar_2d_row_sharded(
             out_specs=P(axis, None),
         )
     )
+
+
+def os_cfar_2d_detect_row_sharded(
+    mesh: Mesh,
+    *,
+    num_train,
+    num_guard,
+    rho: float,
+    alpha: float,
+    axis: str = "data",
+):
+    """Sharded counting OS-CFAR 2D detection with the range axis split.
+
+    Multi-chip counterpart of :func:`ops.cfar.os_2d_detect` (the fused
+    pipelines' detection path): halo rows ride ``ppermute``, the local pass is
+    the counting kernel, and the result is bit-identical to the unsharded
+    detection mask (edge shards reproduce the no-detection edge convention).
+    """
+    halo = num_train[0] + num_guard[0]
+
+    def local(x_local):
+        extended, has_left, has_right = _exchange_halo_1d(x_local, halo, axis)
+        det = cfar_ops.os_2d_detect(
+            extended, num_train=num_train, num_guard=num_guard, rho=rho,
+            alpha=alpha,
+        )
+        core = det[halo:-halo]
+        m = x_local.shape[0]
+        pos = jnp.arange(m)[:, None]
+        left_bad = (~has_left) & (pos < halo)
+        right_bad = (~has_right) & (pos >= m - halo)
+        return core & ~(left_bad | right_bad)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=P(axis, None),
+            out_specs=P(axis, None),
+        )
+    )

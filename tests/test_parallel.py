@@ -74,6 +74,22 @@ def test_halo_cfar_2d_matches_dense(mesh, rng):
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense), rtol=1e-5)
 
 
+def test_halo_cfar_2d_detect_matches_dense(mesh, rng):
+    from mmwave_radar_processing_tpu.parallel.halo_cfar import (
+        os_cfar_2d_detect_row_sharded,
+    )
+
+    # quantized values force exact ties; bit-identical masks required
+    x = (np.round(rng.exponential(1.0, (128, 40)) * 8) / 8).astype(np.float32)
+    params = dict(num_train=(4, 3), num_guard=(2, 1), rho=0.7, alpha=4.0)
+    dense = cfar_ops.os_2d_detect(x, **params)
+    fn = os_cfar_2d_detect_row_sharded(mesh, axis="data", **params)
+    with mesh:
+        sharded = fn(jax.device_put(x, NamedSharding(mesh, P("data", None))))
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(dense))
+    assert np.asarray(dense).sum() > 0
+
+
 def test_sharded_beamformer_matches_dense(flagship_config, mesh, rng):
     from mmwave_radar_processing_tpu.processors.synthetic_array import beamform
 
