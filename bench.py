@@ -73,7 +73,7 @@ def measure_reference_baseline(n: int = 40) -> float:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=1024)
-    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--metric",
                         choices=["pointcloud", "velocity", "combined", "ground"],
                         default="pointcloud",
@@ -144,15 +144,35 @@ def main():
         bench_args = (raw_re, raw_im)
         metric_name = "radar frames/s/chip (altimeter-gated ground scan)"
 
-    # warmup / compile
-    jax.block_until_ready(fn(*bench_args))
+    # Timing protocol: on the tunneled axon runtime, execution is fully async
+    # and ``block_until_ready`` resolves without waiting for the device — only
+    # a host fetch fences.  So: enqueue ``iters`` back-to-back dispatches
+    # (alternating two input sets to defeat any result reuse), then fetch one
+    # scalar element of the last output; the FIFO execution queue makes that
+    # fence cover every enqueued call.  The ~40 ms fetch round-trip is
+    # amortized over the batch of calls.
+    def fence(out):
+        leaf = jax.tree_util.tree_leaves(out)[-1]
+        return np.asarray(leaf.reshape(-1)[0])
 
-    best = 0.0
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*bench_args))
-        dt = time.perf_counter() - t0
-        best = max(best, args.batch / dt)
+    rng2 = np.random.default_rng(1)
+    alt_args = tuple(
+        jax.device_put(np.asarray(rng2.standard_normal(a.shape), a.dtype))
+        if np.issubdtype(np.asarray(a).dtype, np.floating) and a.ndim > 1
+        else a
+        for a in bench_args
+    )
+    arg_sets = [bench_args, alt_args]
+
+    fence(fn(*bench_args))  # warmup: compile + one real execution
+
+    t0 = time.perf_counter()
+    out = None
+    for i in range(args.iters):
+        out = fn(*arg_sets[i % 2])
+    fence(out)
+    dt = time.perf_counter() - t0
+    best = args.iters * args.batch / dt
 
     result = {
         "metric": metric_name,

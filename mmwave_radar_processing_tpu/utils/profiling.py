@@ -2,8 +2,11 @@
 
 Two layers:
 
+- :func:`fence` — waits for *actual* device completion via a one-element host
+  fetch (``block_until_ready`` is a no-op on async remote runtimes like the
+  tunneled axon plugin — timing against it measures dispatch, not compute).
 - :class:`StageTimer` — lightweight per-stage wall-clock + throughput counters
-  with ``block_until_ready`` fencing, suitable for production telemetry of the
+  with :func:`fence` fencing, suitable for production telemetry of the
   frame pipeline (the reference had only tqdm progress bars).
 - :func:`trace` — context manager around ``jax.profiler`` emitting an XPlane
   trace directory viewable in TensorBoard/Perfetto, for kernel-level analysis.
@@ -19,6 +22,24 @@ from typing import Dict
 import jax
 
 from mmwave_radar_processing_tpu.utils.logger import get_logger
+
+
+def fence(tree) -> None:
+    """Wait for *actual* device completion of every array in ``tree``.
+
+    ``jax.block_until_ready`` is NOT sufficient on remote-tunneled runtimes
+    (the axon single-chip plugin executes fully asynchronously and resolves
+    readiness without waiting for the device); only a host fetch fences.  This
+    fetches one scalar element of the last leaf — executions complete
+    atomically and the queue is FIFO, so that single fetch covers the whole
+    tree and everything enqueued before it.  Use this (not
+    ``block_until_ready``) around anything you time.
+    """
+    import numpy as np
+
+    leaves = [l for l in jax.tree_util.tree_leaves(tree) if hasattr(l, "reshape")]
+    if leaves:
+        np.asarray(leaves[-1].reshape(-1)[0])
 
 
 class StageTimer:
@@ -42,9 +63,9 @@ class StageTimer:
 
         yield sink
         if "out" in holder and holder["out"] is not None:
-            jax.block_until_ready(holder["out"])
+            fence(holder["out"])
         elif block_on is not None:
-            jax.block_until_ready(block_on)
+            fence(block_on)
         dt = time.perf_counter() - t0
         self.totals[name] += dt
         self.counts[name] += 1
