@@ -155,10 +155,12 @@ def main():
         leaf = jax.tree_util.tree_leaves(out)[-1]
         return np.asarray(leaf.reshape(-1)[0])
 
+    # Inspect dtype/ndim on the jax Array directly — np.asarray(a) would
+    # host-fetch the full device-resident cubes through the slow tunnel.
     rng2 = np.random.default_rng(1)
     alt_args = tuple(
-        jax.device_put(np.asarray(rng2.standard_normal(a.shape), a.dtype))
-        if np.issubdtype(np.asarray(a).dtype, np.floating) and a.ndim > 1
+        jax.device_put(rng2.standard_normal(a.shape).astype(a.dtype))
+        if np.issubdtype(a.dtype, np.floating) and a.ndim > 1
         else a
         for a in bench_args
     )

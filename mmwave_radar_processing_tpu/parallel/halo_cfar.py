@@ -29,7 +29,18 @@ def _exchange_halo_1d(x_local: jax.Array, halo: int, axis_name: str):
     Boundary shards have no neighbor; their halo slots are filled with zeros
     and the caller masks the corresponding outputs back to +inf thresholds via
     cropping (the local kernel's own edge handling covers them).
+
+    Shapes are static under ``shard_map``, so the per-shard-rows >= halo
+    requirement is checked at trace time: with fewer local rows than the halo
+    width, ``x_local[-halo:]`` silently yields too few rows and the crop would
+    return a wrong (misaligned) result instead of an error.
     """
+    if x_local.shape[0] < halo:
+        raise ValueError(
+            f"sharded CFAR needs rows_per_shard >= num_train + num_guard "
+            f"(= {halo}) on the sharded axis, got {x_local.shape[0]}; use "
+            f"fewer shards or a smaller train/guard window"
+        )
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
 

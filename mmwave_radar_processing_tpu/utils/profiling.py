@@ -30,16 +30,22 @@ def fence(tree) -> None:
     ``jax.block_until_ready`` is NOT sufficient on remote-tunneled runtimes
     (the axon single-chip plugin executes fully asynchronously and resolves
     readiness without waiting for the device); only a host fetch fences.  This
-    fetches one scalar element of the last leaf — executions complete
-    atomically and the queue is FIFO, so that single fetch covers the whole
-    tree and everything enqueued before it.  Use this (not
+    fetches one scalar element of *every* non-empty leaf: the tree may mix
+    outputs of several dispatches whose enqueue order is unknown to the
+    caller, so fencing only the last leaf could under-fence (executions
+    complete atomically and the queue is FIFO, so one element per producing
+    buffer suffices).  Size-0 leaves carry no pending execution of their own
+    once a sibling is fetched, and are skipped.  Use this (not
     ``block_until_ready``) around anything you time.
     """
     import numpy as np
 
-    leaves = [l for l in jax.tree_util.tree_leaves(tree) if hasattr(l, "reshape")]
-    if leaves:
-        np.asarray(leaves[-1].reshape(-1)[0])
+    leaves = [
+        l for l in jax.tree_util.tree_leaves(tree)
+        if hasattr(l, "reshape") and getattr(l, "size", 0) > 0
+    ]
+    for leaf in leaves:
+        np.asarray(leaf.reshape(-1)[0])
 
 
 class StageTimer:

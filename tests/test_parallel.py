@@ -90,6 +90,18 @@ def test_halo_cfar_2d_detect_matches_dense(mesh, rng):
     assert np.asarray(dense).sum() > 0
 
 
+def test_halo_cfar_rejects_shards_smaller_than_halo(mesh, rng):
+    """rows_per_shard < train+guard must fail at trace time, not misalign."""
+    # 4 data shards x 8 rows/shard = 32 rows; halo = 4+2 = 6 < 8 is fine,
+    # but train=(7,3) guard=(3,1) -> halo 10 > 8 must raise.
+    x = rng.exponential(1.0, (32, 16)).astype(np.float32)
+    fn = ca_cfar_2d_row_sharded(
+        mesh, axis="data", num_train=(7, 3), num_guard=(3, 1), pfa=1e-3
+    )
+    with mesh, pytest.raises(ValueError, match="rows_per_shard"):
+        fn(jax.device_put(x, NamedSharding(mesh, P("data", None))))
+
+
 def test_sharded_beamformer_matches_dense(flagship_config, mesh, rng):
     from mmwave_radar_processing_tpu.processors.synthetic_array import beamform
 
