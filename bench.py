@@ -75,12 +75,15 @@ def main():
     parser.add_argument("--batch", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--metric",
-                        choices=["pointcloud", "velocity", "combined", "ground"],
+                        choices=["pointcloud", "velocity", "combined", "ground",
+                                 "capon", "bartlett"],
                         default="pointcloud",
                         help="pointcloud: RD+CFAR+AoA north star; "
                              "velocity: fused RadVel ego-velocity pipeline; "
                              "combined: point clouds + ego-velocity per frame; "
-                             "ground: stateful altimeter-gated ground scan")
+                             "ground: stateful altimeter-gated ground scan; "
+                             "capon/bartlett: covariance beamforming "
+                             "range-azimuth heatmaps")
     parser.add_argument("--measure-baseline", action="store_true")
     args = parser.parse_args()
 
@@ -135,6 +138,15 @@ def main():
         altitudes = jax.device_put(np.full(args.batch, 1.2, np.float32))
         bench_args = (raw_re, raw_im, altitudes)
         metric_name = "radar frames/s/chip (point clouds + ego-velocity)"
+    elif args.metric in ("capon", "bartlett"):
+        from mmwave_radar_processing_tpu.parallel.capon_pipeline import (
+            build_capon_pipeline,
+        )
+
+        fn = build_capon_pipeline(cfg, antenna_idxs=AZ_IDXS, method=args.metric)
+        bench_args = (raw_re, raw_im)
+        metric_name = (f"radar frames/s/chip ({args.metric} covariance "
+                       "beamforming heatmaps)")
     else:  # ground: one lax.scan over the recording (stateful altimeter gate)
         from mmwave_radar_processing_tpu.parallel.ground_pipeline import (
             build_ground_point_cloud_pipeline,

@@ -10,12 +10,22 @@ Everything here is shape-static, functional, and safe to ``jax.jit`` /
   prominence peak finding with fixed-capacity padded outputs.
 - :mod:`~mmwave_radar_processing_tpu.ops.cfar` — CA/GO/SO/OS CFAR threshold
   maps (1D/2D) as vectorized gather + reduce/sort.
+- :mod:`~mmwave_radar_processing_tpu.ops.beamform` — Capon/Bartlett
+  covariance beamforming spectra as split-complex MXU matmuls.
 - :mod:`~mmwave_radar_processing_tpu.ops.ransac` — deterministic vmapped
   fixed-trial RANSAC with closed-form least squares.
 - :mod:`~mmwave_radar_processing_tpu.ops.masked` — utilities for fixed-capacity
   masked detection sets (the TPU replacement for dynamic-length lists).
 """
 
-from mmwave_radar_processing_tpu.ops import czt, cfar, masked, peaks, ransac, windows
+from mmwave_radar_processing_tpu.ops import (
+    beamform,
+    czt,
+    cfar,
+    masked,
+    peaks,
+    ransac,
+    windows,
+)
 
-__all__ = ["czt", "cfar", "masked", "peaks", "ransac", "windows"]
+__all__ = ["beamform", "czt", "cfar", "masked", "peaks", "ransac", "windows"]

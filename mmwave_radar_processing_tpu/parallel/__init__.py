@@ -13,7 +13,9 @@ range/Doppler bins, and steering angles.  This package makes them first-class:
   with guard/train halo exchange over a sharded range axis (``ppermute``).
 - :mod:`~mmwave_radar_processing_tpu.parallel.sharded_beamform` — synthetic-
   aperture beamforming with elements sharded over the ``model`` axis and a
-  ``psum`` over partial element sums.
+  ``psum`` over partial element sums; snapshot-sharded Capon covariance.
+- :mod:`~mmwave_radar_processing_tpu.parallel.capon_pipeline` — fused
+  frame-batched Capon/Bartlett range-azimuth heatmap pipeline.
 """
 
 from mmwave_radar_processing_tpu.parallel.mesh import make_mesh
@@ -28,6 +30,9 @@ from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
 )
 from mmwave_radar_processing_tpu.parallel.beamform_pipeline import (
     build_synthetic_aperture_pipeline,
+)
+from mmwave_radar_processing_tpu.parallel.capon_pipeline import (
+    build_capon_pipeline,
 )
 from mmwave_radar_processing_tpu.parallel.spectral_pipeline import (
     SpectralMaps,
@@ -44,6 +49,7 @@ __all__ = [
     "VelocityBatch",
     "build_velocity_pipeline",
     "build_synthetic_aperture_pipeline",
+    "build_capon_pipeline",
     "SpectralMaps",
     "build_dbs_pipeline",
     "build_micro_doppler_pipeline",

@@ -1,0 +1,72 @@
+"""Fused frame-batched Capon / Bartlett heatmap pipeline.
+
+One jitted program mapping a batch of raw TI ADC frames to range-azimuth
+beamforming power maps: virtual-array reformat -> windowed range DFT (MXU
+matmul) -> per-range-bin snapshot covariance -> Capon (loaded real-embedded
+Cholesky solve) or Bartlett (fused Pallas steering kernel) spectrum on the
+reference angle grid.  Split-complex throughout — no complex dtypes on device
+(axon constraint) — and batch-sharded over the ``data`` mesh axis like the
+point-cloud pipeline (``parallel/pipeline.py``).
+
+This is the "Capon/Bartlett beamforming azimuth-elevation heatmaps (virtual
+array, 6843 ods)" north-star config (BASELINE.json); the ``bench.py --metric
+capon`` entry times it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmwave_radar_processing_tpu.config import RadarConfig, grids
+from mmwave_radar_processing_tpu.ops import beamform as bf, mxu, windows
+from mmwave_radar_processing_tpu.processors.virtual_array import reformat
+
+
+def build_capon_pipeline(
+    cfg: RadarConfig,
+    *,
+    antenna_idxs: Sequence[int] = (0, 3, 4, 7),
+    num_angle_bins: int = 64,
+    method: str = "capon",
+    loading: float = 1e-2,
+    reformat_input: bool = True,
+    bartlett_backend: Optional[str] = None,
+):
+    """Compile ``(raw_re, raw_im) [B, rx, ns, nc] -> [B, ns, angles]`` power.
+
+    ``method``: ``"capon"`` (MVDR, covariance + Cholesky solve) or
+    ``"bartlett"`` (steering matmul; ``bartlett_backend`` picks the fused
+    Pallas kernel vs the XLA einsum, default auto per ``ops.beamform``).
+    """
+    if method not in ("capon", "bartlett"):
+        raise ValueError(f"unknown method {method!r}")
+    ns = cfg.num_adc_samples
+    num_rx, cpl = cfg.num_rx_antennas, cfg.chirp_cfgs_per_loop
+    idxs = np.asarray(list(antenna_idxs), int)
+    rng_factors = mxu.dft_factors(ns, window=windows.hanning(ns))
+    steering = bf.steering_ula(grids.phase_shift_bins(num_angle_bins),
+                               len(idxs))
+
+    def pipeline(raw_re: jax.Array, raw_im: jax.Array) -> jax.Array:
+        if reformat_input:
+            re = jax.vmap(lambda x: reformat(x, num_rx=num_rx,
+                                             cfgs_per_loop=cpl))(raw_re)
+            im = jax.vmap(lambda x: reformat(x, num_rx=num_rx,
+                                             cfgs_per_loop=cpl))(raw_im)
+        else:
+            re, im = raw_re, raw_im
+        sel = mxu.C2(re[:, idxs], im[:, idxs])  # [B, A, ns, K]
+        rng = mxu.dft_apply(sel, rng_factors, axis=-2)
+        # snapshots per (frame, range bin): [B, ns, A, K]
+        snaps = mxu.C2(jnp.moveaxis(rng.re, 1, 2), jnp.moveaxis(rng.im, 1, 2))
+        if method == "bartlett":
+            return bf.bartlett_power(snaps, steering,
+                                     method=bartlett_backend)
+        r = bf.spatial_covariance(snaps)
+        return bf.capon_from_covariance(r, steering, loading=loading)
+
+    return jax.jit(pipeline)

@@ -82,3 +82,55 @@ def build_sharded_beamformer(
             out_specs=P(None, None),
         )
     )
+
+
+def build_snapshot_sharded_capon(
+    mesh: Mesh,
+    *,
+    loading: float = 1e-2,
+    method: str = "capon",
+    axis: str = "model",
+):
+    """Capon/Bartlett spectra with the *snapshot* (chirp) axis sharded.
+
+    Long coherent dwells scale the snapshot count, not the antenna count; the
+    sample covariance ``R = X X^H / K`` is a sum over snapshots, so each chip
+    forms the partial covariance of its chirp shard (local MXU matmuls) and
+    one ``[..., A, A]`` ``psum`` over ``axis`` assembles the full ``R`` —
+    ICI traffic independent of dwell length, the covariance analog of the
+    element-sharded beam ``psum`` above.  The tiny solve + spectrum then run
+    replicated.
+
+    Returns ``fn(xr, xi, steer_re, steer_im) -> power``: ``x`` is
+    ``[N, A, K]`` split-complex snapshots sharded on ``K``; steering
+    ``(A, M)`` replicated; output ``[N, M]`` replicated, numerically equal to
+    the unsharded :func:`ops.beamform.capon_from_covariance` /
+    :func:`ops.beamform.bartlett_from_covariance` of the full covariance.
+    """
+    from mmwave_radar_processing_tpu.ops import beamform as bf
+    from mmwave_radar_processing_tpu.ops.mxu import C2
+
+    if method not in ("capon", "bartlett"):
+        raise ValueError(f"unknown method {method!r}")
+
+    def local(xr, xi, steer_re, steer_im):
+        k_total = xr.shape[-1] * jax.lax.axis_size(axis)
+        xr_t = jnp.swapaxes(xr, -1, -2)
+        xi_t = jnp.swapaxes(xi, -1, -2)
+        rr = (xr @ xr_t + xi @ xi_t) / k_total  # partial covariance
+        ri = (xi @ xr_t - xr @ xi_t) / k_total
+        r = C2(jax.lax.psum(rr, axis), jax.lax.psum(ri, axis))
+        steering = C2(steer_re, steer_im)
+        if method == "bartlett":
+            return bf.bartlett_from_covariance(r, steering)
+        return bf.capon_from_covariance(r, steering, loading=loading)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, None, axis), P(None, None, axis),
+                      P(None, None), P(None, None)),
+            out_specs=P(None, None),
+        )
+    )

@@ -31,6 +31,10 @@ from mmwave_radar_processing_tpu.processors.strip_map_sar import StripMapSARProc
 from mmwave_radar_processing_tpu.processors.synthetic_array import (
     SyntheticArrayBeamformerProcessor,
 )
+from mmwave_radar_processing_tpu.processors.beamforming import (
+    BartlettBeamformerProcessor,
+    CaponBeamformerProcessor,
+)
 
 __all__ = [
     "VirtualArrayReformatter",
@@ -50,4 +54,6 @@ __all__ = [
     "RangeAngleProcessorDBSEnhanced",
     "StripMapSARProcessor",
     "SyntheticArrayBeamformerProcessor",
+    "BartlettBeamformerProcessor",
+    "CaponBeamformerProcessor",
 ]

@@ -12,6 +12,10 @@ from dataclasses import dataclass
 from typing import Dict, Tuple, Type
 
 from mmwave_radar_processing_tpu.processors.altimeter import Altimeter
+from mmwave_radar_processing_tpu.processors.beamforming import (
+    BartlettBeamformerProcessor,
+    CaponBeamformerProcessor,
+)
 from mmwave_radar_processing_tpu.processors.detection import (
     RangeDetector,
     RangeDopplerDetector2D,
@@ -113,6 +117,19 @@ def get_default_registry() -> Dict[str, ProcessorSpec]:
             key="point_cloud_generator", display_name="Point Cloud",
             processor_cls=PointCloudGenerator, view_name="point_cloud",
             output_schema="points", view_keys=(),
+        ),
+        # Capon/Bartlett covariance beamformers (north-star addition beyond
+        # the reference registry; same payload contract as range_angle so the
+        # range-angle view renders them unchanged)
+        ProcessorSpec(
+            key="bartlett_beamformer", display_name="Range-Azimuth (Bartlett)",
+            processor_cls=BartlettBeamformerProcessor, view_name="range_angle",
+            view_keys=("range_bins", "angle_bins", "x_s", "y_s"),
+        ),
+        ProcessorSpec(
+            key="capon_beamformer", display_name="Range-Azimuth (Capon)",
+            processor_cls=CaponBeamformerProcessor, view_name="range_angle",
+            view_keys=("range_bins", "angle_bins", "x_s", "y_s"),
         ),
     ]
     return {s.key: s for s in specs}

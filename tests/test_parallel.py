@@ -130,6 +130,37 @@ def test_sharded_beamformer_matches_dense(flagship_config, mesh, rng):
                                rtol=1e-4, atol=1e-4 * np.abs(np.asarray(dense)).max())
 
 
+def test_snapshot_sharded_capon_matches_dense(mesh, rng):
+    """Chirp-sharded covariance + psum == unsharded Capon/Bartlett."""
+    from mmwave_radar_processing_tpu.config import grids
+    from mmwave_radar_processing_tpu.ops import beamform as bf, mxu
+    from mmwave_radar_processing_tpu.parallel.sharded_beamform import (
+        build_snapshot_sharded_capon,
+    )
+
+    x = (rng.standard_normal((6, 12, 64))
+         + 1j * rng.standard_normal((6, 12, 64))).astype(np.complex64)
+    c2 = mxu.from_complex(x)
+    steering = bf.steering_ula(grids.phase_shift_bins(48), 12)
+
+    dense_capon = np.asarray(bf.capon_from_covariance(
+        bf.spatial_covariance(c2), steering, loading=1e-2))
+    dense_bart = np.asarray(bf.bartlett_from_covariance(
+        bf.spatial_covariance(c2), steering))
+
+    sh = NamedSharding(mesh, P(None, None, "model"))
+    xr = jax.device_put(np.asarray(c2.re), sh)
+    xi = jax.device_put(np.asarray(c2.im), sh)
+    with mesh:
+        capon_fn = build_snapshot_sharded_capon(mesh, loading=1e-2)
+        bart_fn = build_snapshot_sharded_capon(mesh, method="bartlett")
+        got_capon = np.asarray(capon_fn(xr, xi, steering.re, steering.im))
+        got_bart = np.asarray(bart_fn(xr, xi, steering.re, steering.im))
+    np.testing.assert_allclose(got_capon, dense_capon, rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(got_bart, dense_bart, rtol=1e-4,
+                               atol=1e-4 * dense_bart.max())
+
+
 def test_graft_entry_contract():
     import __graft_entry__ as ge
 
