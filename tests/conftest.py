@@ -50,6 +50,10 @@ def flagship_config(flagship_cfg_path):
     return load_cfg(flagship_cfg_path, array_geometry="ods", array_direction="down")
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped on purpose: a shared session generator makes every
+    # test's data depend on which tests ran before it (adding a test file
+    # shifted the stream and flipped a borderline RANSAC scene).  A fresh
+    # seeded generator per test is deterministic and order-independent.
     return np.random.default_rng(1234)
