@@ -76,15 +76,24 @@ def main():
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--metric",
                         choices=["pointcloud", "velocity", "combined", "ground",
-                                 "capon", "bartlett"],
+                                 "capon", "bartlett", "scaling"],
                         default="pointcloud",
                         help="pointcloud: RD+CFAR+AoA north star; "
                              "velocity: fused RadVel ego-velocity pipeline; "
                              "combined: point clouds + ego-velocity per frame; "
                              "ground: stateful altimeter-gated ground scan; "
                              "capon/bartlett: covariance beamforming "
-                             "range-azimuth heatmaps")
+                             "range-azimuth heatmaps; "
+                             "scaling: samples/s vs devices table (uses an "
+                             "8-device virtual CPU mesh when only one real "
+                             "chip is attached)")
     parser.add_argument("--measure-baseline", action="store_true")
+    parser.add_argument("--peak-tflops", type=float, default=None,
+                        help="chip float32 matmul peak for MFU (default: "
+                             "TPU v5e-class 49 f32 TFLOP/s)")
+    parser.add_argument("--peak-gbs", type=float, default=None,
+                        help="chip HBM bandwidth peak in GB/s (default: "
+                             "TPU v5e 819)")
     args = parser.parse_args()
 
     if args.measure_baseline:
@@ -92,6 +101,17 @@ def main():
         print(f"reference CPU pipeline: {fps:.2f} frames/s", file=sys.stderr)
 
     import jax
+
+    if args.metric == "scaling":
+        # Multi-device measurement: with a single attached chip, fall back to
+        # an 8-device virtual CPU mesh (backends initialize lazily, so
+        # switching platforms here — before any device computation — is safe;
+        # same approach as tests/conftest.py).
+        os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+        run_scaling(args)
+        return
 
     # Remote-compile TPU tunnels take minutes per program; the persistent
     # cache makes repeat runs (and the driver's run) start in seconds.
@@ -194,7 +214,85 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(best / REFERENCE_CPU_FRAMES_PER_S, 2),
     }
+    result.update(_roofline_fields(fn, bench_args, args, cfg, best))
     print(json.dumps(result))
+
+
+def run_scaling(args) -> None:
+    """samples/s-vs-devices tables for the sharded pipelines (weak scaling).
+
+    Prints one JSON line whose ``value`` is the combined-pipeline parallel
+    efficiency at the largest device count (north star: >= 0.80 at 1 -> N
+    hosts); the full per-pipeline tables ride in the ``table`` field.  On
+    this container only a virtual CPU mesh is available, so the number is a
+    software-overhead proxy — the harness itself is hardware-ready.
+    """
+    from mmwave_radar_processing_tpu.parallel.scaling import measure_scaling
+
+    cfg = _flagship_config()
+    table = measure_scaling(
+        cfg, per_device_batch=max(1, args.batch // 16), iters=args.iters
+    )
+    eff = table["combined"]["efficiency"][-1]
+    n_max = table["combined"]["devices"][-1]
+    result = {
+        "metric": f"samples/s scaling efficiency 1->{n_max} devices "
+                  "(combined pipeline, weak scaling)",
+        "value": round(eff, 4),
+        "unit": "fraction",
+        "vs_baseline": round(eff / 0.80, 2),  # vs the >=80% north-star bar
+        "table": table,
+    }
+    print(json.dumps(result))
+
+
+def _roofline_fields(fn, bench_args, args, cfg, frames_per_s) -> dict:
+    """MFU / roofline accounting for the timed pipeline.
+
+    FLOP and HBM-byte counts come from the compiled executable's own
+    ``cost_analysis()`` (exact for the HLO that actually ran — verified
+    available through the axon PJRT tunnel); if the plugin doesn't expose it,
+    falls back to the analytic models in ``utils/roofline.py``.  Peaks
+    default to the attached chip class (TPU v5e: ~49 f32 TFLOP/s MXU,
+    819 GB/s HBM) and are overridable via ``--peak-tflops`` / ``--peak-gbs``.
+    """
+    from mmwave_radar_processing_tpu.utils import roofline
+
+    source = "xla_cost_analysis"
+    flops_per_frame = bytes_per_frame = None
+    try:
+        ca = fn.lower(*bench_args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_frame = float(ca["flops"]) / args.batch
+        bytes_per_frame = float(ca["bytes accessed"]) / args.batch
+    except Exception:
+        model = roofline.analytic_cost(args.metric, cfg)
+        if model is not None:
+            flops_per_frame = model.flops_per_frame
+            bytes_per_frame = model.bytes_per_frame
+            source = "analytic_model"
+    if flops_per_frame is None:
+        return {}
+
+    peak_tflops = args.peak_tflops or roofline.DEFAULT_PEAK_F32_TFLOPS
+    peak_gbs = args.peak_gbs or roofline.DEFAULT_PEAK_HBM_GBS
+    tflops = frames_per_s * flops_per_frame / 1e12
+    gbs = frames_per_s * bytes_per_frame / 1e9
+    return {
+        "flops_per_frame": round(flops_per_frame),
+        "bytes_per_frame": round(bytes_per_frame),
+        "tflops": round(tflops, 3),
+        "mfu": round(tflops / peak_tflops, 4),
+        "hbm_gbs": round(gbs, 2),
+        "hbm_util": round(gbs / peak_gbs, 4),
+        "bound": roofline.classify_bound(
+            tflops, gbs, peak_tflops=peak_tflops, peak_gbs=peak_gbs
+        ),
+        "cost_source": source,
+        "peak_tflops": peak_tflops,
+        "peak_gbs": peak_gbs,
+    }
 
 
 if __name__ == "__main__":

@@ -75,11 +75,13 @@ def _train_stack_2d(x: jax.Array, num_train, num_guard) -> jax.Array:
 
 
 def _pad_valid_1d(computed: jax.Array, edge: int, fill) -> jax.Array:
-    return jnp.pad(computed, ((edge, edge),), constant_values=fill)
+    pad = [(0, 0)] * (computed.ndim - 1) + [(edge, edge)]
+    return jnp.pad(computed, pad, constant_values=fill)
 
 
 def _pad_valid_2d(computed: jax.Array, edge_r: int, edge_d: int, fill) -> jax.Array:
-    return jnp.pad(computed, ((edge_r, edge_r), (edge_d, edge_d)), constant_values=fill)
+    pad = [(0, 0)] * (computed.ndim - 2) + [(edge_r, edge_r), (edge_d, edge_d)]
+    return jnp.pad(computed, pad, constant_values=fill)
 
 
 def _train_cols_1d(num_train: int, num_guard: int) -> np.ndarray:
@@ -202,12 +204,26 @@ def _rank_reduce(train: jax.Array, k_rank: int, method: str) -> jax.Array:
     return out.reshape(train.shape[:-1])
 
 
+# Sort-path batches are processed in lax.map chunks of this size: the slab
+# stacking in _train_stack_2d expands the map ~190x, and compiling it over a
+# large fused batch OOMs at *compile time* (XLA materializes every padded
+# slab copy).  Chunking bounds peak memory to chunk_size * expansion while
+# the while-loop body compiles once.
+_SORT_BATCH_CHUNK = 32
+
+
 @partial(jax.jit, static_argnames=("num_train", "num_guard", "rho", "alpha", "method"))
 def os_2d(
     x: jax.Array, *, num_train, num_guard, rho: float, alpha: float,
     method: str = "auto",
 ):
-    """OS-CFAR thresholds for a 2D map (rank statistic via sort or Pallas)."""
+    """OS-CFAR thresholds for a 2D map (rank statistic via sort or Pallas).
+
+    Accepts leading batch dims ``[..., R, D]``.  For batched sort-path use,
+    call this directly on the stacked maps (the batch is chunked internally)
+    rather than ``vmap``-ing the single-map call — vmap re-introduces the
+    unchunked slab expansion that OOMs compilation at large batch.
+    """
     edge_r = num_train[0] + num_guard[0]
     edge_d = num_train[1] + num_guard[1]
     win_r, win_d = 2 * edge_r + 1, 2 * edge_d + 1
@@ -225,13 +241,26 @@ def os_2d(
             os_cfar_2d_noise_fused,
         )
 
+        flat = x.reshape((-1,) + x.shape[-2:]) if x.ndim > 3 else x
         noise = os_cfar_2d_noise_fused(
-            x, num_train=num_train, num_guard=num_guard, k_rank=k_rank,
+            flat, num_train=num_train, num_guard=num_guard, k_rank=k_rank,
             interpret=jax.default_backend() == "cpu",
         )
+        if x.ndim > 3:
+            noise = noise.reshape(x.shape[:-2] + noise.shape[-2:])
     else:
-        train = _train_stack_2d(x, num_train, num_guard)
-        noise = _rank_reduce(train, k_rank, "sort")
+        def one(xm):
+            return _rank_reduce(
+                _train_stack_2d(xm, num_train, num_guard), k_rank, "sort"
+            )
+
+        batch = int(np.prod(x.shape[:-2])) if x.ndim > 2 else 1
+        if batch > _SORT_BATCH_CHUNK:
+            flat = x.reshape((-1,) + x.shape[-2:])
+            noise = jax.lax.map(one, flat, batch_size=_SORT_BATCH_CHUNK)
+            noise = noise.reshape(x.shape[:-2] + noise.shape[-2:])
+        else:
+            noise = one(x)
     return (
         _pad_valid_2d(alpha * noise, edge_r, edge_d, jnp.inf),
         _pad_valid_2d(noise, edge_r, edge_d, 0.0),
