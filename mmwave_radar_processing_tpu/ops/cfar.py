@@ -307,13 +307,22 @@ def os_1d_detect(
     return jnp.pad(count >= k, pad, constant_values=False)
 
 
-@partial(jax.jit, static_argnames=("num_train", "num_guard", "rho", "alpha"))
+@partial(jax.jit, static_argnames=("num_train", "num_guard", "rho", "alpha",
+                                   "method"))
 def os_2d_detect(
-    x: jax.Array, *, num_train, num_guard, rho: float, alpha: float
+    x: jax.Array, *, num_train, num_guard, rho: float, alpha: float,
+    method: str = "auto",
 ) -> jax.Array:
     """OS-CFAR 2D detection mask (edges False).
 
     Accepts leading batch dims: ``[..., R, D] -> [..., R, D]`` bool.
+
+    ``method="pallas"`` (the TPU default) runs the fully fused VMEM-resident
+    counting kernel: the XLA slice formulation below reads a shifted copy of
+    the map per training offset (~255x HBM expansion on the flagship window),
+    which the ``bench.py`` roofline showed to be the fused pipeline's dominant
+    HBM consumer; the kernel reads the map once and writes only the mask.
+    Both are bit-identical (tests/test_ops.py).
     """
     assert alpha > 0.0
     edge_r = num_train[0] + num_guard[0]
@@ -321,6 +330,17 @@ def os_2d_detect(
     win_r, win_d = 2 * edge_r + 1, 2 * edge_d + 1
     if x.shape[-2] < win_r or x.shape[-1] < win_d:
         return jnp.zeros(x.shape, bool)
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if method == "pallas":
+        from mmwave_radar_processing_tpu.ops.pallas.os_cfar import (
+            os_cfar_2d_detect_fused,
+        )
+
+        return os_cfar_2d_detect_fused(
+            x, num_train=num_train, num_guard=num_guard, rho=rho, alpha=alpha,
+            interpret=jax.default_backend() == "cpu",
+        )
     r_out = x.shape[-2] - win_r + 1
     d_out = x.shape[-1] - win_d + 1
     mask = _train_mask_2d(num_train, num_guard)

@@ -84,6 +84,111 @@ def _fused_kernel(x_ref, out_ref, train_scratch, *, offsets, guard_box,
     out_ref[0] = sorted_flat[:, k_idx].reshape(r_out, d_out)
 
 
+def _detect_kernel(x_ref, out_ref, *, guard_box, win_r, win_d, r_out, d_out,
+                   edge_r, edge_d, k, alpha, rows, cols):
+    """Counting OS-CFAR detection, map resident in VMEM.
+
+    ``x > alpha * rank_k(train)  <=>  #{t : alpha*t < x} >= k`` (see
+    ``ops/cfar.py`` detection-only section) — so detection needs no rank
+    selection at all: one compare+add per training offset.  ``j`` (lane axis)
+    offsets are unrolled statically, ``i`` (sublane axis) runs in a
+    ``fori_loop`` with a dynamic-start slice, mirroring the loop-built window
+    pattern of the noise kernel above.  Guard+CUT offsets contribute zero.
+    """
+    gr0, gr1, gd0, gd1 = guard_box
+    center = x_ref[0, edge_r : edge_r + r_out, edge_d : edge_d + d_out]
+    count = jnp.zeros((r_out, d_out), jnp.float32)
+
+    for j in range(win_d):
+        def body(i, cnt, j=j):
+            is_guard = (
+                (i >= gr0) & (i <= gr1) & jnp.asarray((j >= gd0) and (j <= gd1))
+            )
+            slab = x_ref[0, pl.ds(i, r_out), j : j + d_out]
+            hit = jnp.where(alpha * slab < center, 1.0, 0.0)
+            return cnt + jnp.where(is_guard, 0.0, hit)
+
+        count = jax.lax.fori_loop(0, win_r, body, count)
+
+    det = jnp.where(count >= k, 1.0, 0.0)
+    out = jnp.zeros((rows, cols), jnp.float32)  # edge convention: no detection
+    out_ref[0] = out.at[edge_r : edge_r + r_out, edge_d : edge_d + d_out].set(det)
+
+
+@partial(jax.jit, static_argnames=("num_train", "num_guard", "rho", "alpha",
+                                   "interpret"))
+def os_cfar_2d_detect_fused(
+    x: jax.Array,
+    *,
+    num_train,
+    num_guard,
+    rho: float,
+    alpha: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fully fused counting OS-CFAR 2D detection mask.
+
+    HBM traffic per frame: one map read + one mask write (~35 KB) — the XLA
+    counting formulation (``ops/cfar.os_2d_detect``) reads a shifted copy of
+    the map per training offset (~255x expansion, ~4.5 MB/frame on the
+    flagship cube), which made CFAR the dominant HBM consumer of the fused
+    point-cloud pipeline (46% HBM utilization, bandwidth-bound per
+    ``bench.py`` roofline).
+
+    Args:
+        x: ``[R, D]`` or ``[..., R, D]`` magnitude map(s).
+
+    Returns:
+        bool detection mask, same shape, bit-identical to
+        ``ops/cfar.os_2d_detect`` (edges False).
+    """
+    from mmwave_radar_processing_tpu.ops.cfar import os_rank, _train_mask_2d
+
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    lead = x.shape[:-2]
+    x = x.reshape((-1,) + x.shape[-2:])
+    b, rows, cols = x.shape
+    edge_r = num_train[0] + num_guard[0]
+    edge_d = num_train[1] + num_guard[1]
+    win_r, win_d = 2 * edge_r + 1, 2 * edge_d + 1
+    r_out = rows - win_r + 1
+    d_out = cols - win_d + 1
+    k = os_rank(rho, int(_train_mask_2d(num_train, num_guard).sum()))
+    guard_box = (num_train[0], num_train[0] + 2 * num_guard[0],
+                 num_train[1], num_train[1] + 2 * num_guard[1])
+
+    out = pl.pallas_call(
+        partial(
+            _detect_kernel,
+            guard_box=guard_box,
+            win_r=win_r,
+            win_d=win_d,
+            r_out=r_out,
+            d_out=d_out,
+            edge_r=edge_r,
+            edge_d=edge_d,
+            k=float(k),
+            alpha=float(alpha),
+            rows=rows,
+            cols=cols,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, rows, cols), jnp.float32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, rows, cols), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, rows, cols), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x.astype(jnp.float32))
+    det = out > 0.5
+    det = det.reshape(lead + (rows, cols))
+    return det[0] if squeeze else det
+
+
 @partial(jax.jit, static_argnames=("num_train", "num_guard", "k_rank",
                                    "interpret", "unroll_build"))
 def os_cfar_2d_noise_fused(

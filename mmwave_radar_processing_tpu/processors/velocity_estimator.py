@@ -81,6 +81,12 @@ class VelocityEstimator(DopplerAzimuthProcessor):
         self.elevation_peak_zero_az = np.empty(0)
 
         self.ego_vx_estimate = -1.0
+        # Explicit input-path flag for the standard-geometry gate: the
+        # reference distinguishes the points path by control flow
+        # (velocity_estimator.py:694-721 vs :663-692); a sign test on
+        # ego_vx_estimate would mis-gate a genuine small negative vx.
+        # Starts True to match the pre-first-frame state (no ADC seen yet).
+        self._points_path = True
         self.azimuth_ego_vy_estimate = 0.0
         self.azimuth_estimate_R2 = 0.0
         self.azimuth_inlier_percent = 0.0
@@ -344,7 +350,18 @@ class VelocityEstimator(DopplerAzimuthProcessor):
             self.proposed_velocity_estimate = np.array([vel_est[0], vel_est[1], 0.0])
 
     def update_and_check_current_vel_measurements(self):
-        """R^2 / inlier gates per axis (reference :597-638)."""
+        """R^2 / inlier gates per axis (reference :597-638).
+
+        Intentional divergence: the reference distinguishes the points path
+        by the sign test ``ego_vx_estimate < 0.0`` (reference :623, comment
+        "used points to estimate vel"), which mis-gates a genuine negative
+        vx measured from an ADC cube — the whole estimate is zeroed as if it
+        came from points with a failed fit.  We gate on the explicit
+        ``_points_path`` input flag instead, so a negative ADC-path vx is
+        kept (only vy is R^2-gated, per the ADC branch at reference
+        :630-638).  ``tests/test_parity_standard_geometry.py`` pins both
+        behaviors.
+        """
         if self.x_measurement_only:
             self.current_velocity_estimate[0] = self.proposed_velocity_estimate[0]
             return
@@ -365,7 +382,7 @@ class VelocityEstimator(DopplerAzimuthProcessor):
                 self.current_velocity_estimate[1] = 0.0
             self.current_velocity_estimate[2] = self.proposed_velocity_estimate[2]
         else:
-            if self.ego_vx_estimate < 0.0:  # points path
+            if self._points_path:
                 if self.azimuth_estimate_R2 >= self.min_R2_threshold:
                     self.current_velocity_estimate = self.proposed_velocity_estimate.copy()
                 else:
@@ -402,6 +419,7 @@ class VelocityEstimator(DopplerAzimuthProcessor):
         (reference :679-684).
         """
         if adc_cube is not None and np.size(adc_cube) > 0:
+            self._points_path = False
             range_window = self.get_range_window(
                 altitude=altitude, sensing_direction=self.config.array_direction
             )
@@ -428,6 +446,7 @@ class VelocityEstimator(DopplerAzimuthProcessor):
                 self.detect_vel_row_peaks(use_precise_response=enable_precise_responses)
             self.estimate_ego_velocity_adc_data()
         elif points is not None and np.size(points) > 0:
+            self._points_path = True
             self.estimate_ego_velocity_points(np.asarray(points))
 
         self.update_and_check_current_vel_measurements()

@@ -331,6 +331,27 @@ def test_os_2d_detect_bit_exact_vs_threshold_path():
     assert det.sum() > 0
 
 
+def test_os_2d_detect_pallas_bit_exact():
+    """The fused VMEM counting kernel == the XLA slice formulation, ties incl."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    x = (np.round(rng.exponential(1.0, (5, 63, 70)) * 8) / 8).astype(np.float32)
+    p = dict(num_train=(5, 5), num_guard=(3, 2), rho=0.7, alpha=4.0)
+    ref = np.asarray(cfar.os_2d_detect(jnp.asarray(x), **p, method="xla"))
+    fused = np.asarray(cfar.os_2d_detect(jnp.asarray(x), **p, method="pallas"))
+    np.testing.assert_array_equal(fused, ref)
+    # under vmap, as the fused pipelines invoke it
+    vm = np.asarray(
+        jax.vmap(lambda m: cfar.os_2d_detect(m, **p, method="pallas"))(
+            jnp.asarray(x)
+        )
+    )
+    np.testing.assert_array_equal(vm, ref)
+    assert ref.sum() > 0
+
+
 def test_os_1d_detect_bit_exact_vs_threshold_path():
     import jax
     import jax.numpy as jnp

@@ -129,4 +129,20 @@ def test_velocity_estimator_standard_path(cfg, ref_cfg, virtual_cube):
     )
     np.testing.assert_allclose(ours_ve.ego_vx_estimate, ref_ve.ego_vx_estimate,
                                atol=1e-6)
-    np.testing.assert_allclose(ours_out, ref_out, atol=0.1)
+    if ref_ve.ego_vx_estimate < 0.0:
+        # Documented divergence (update_and_check_current_vel_measurements):
+        # the reference's sign-test sentinel (ref :623) mis-gates a genuine
+        # negative ADC-path vx through the points branch and zeroes it; we
+        # gate on the explicit input path, so vx survives and vy is R^2-gated
+        # per the ADC branch (ref :630-638).  Pin both behaviors.
+        np.testing.assert_allclose(ref_out, np.zeros(3), atol=1e-12)
+        np.testing.assert_allclose(ours_out[0], ref_ve.ego_vx_estimate,
+                                   atol=1e-6)
+        vy_expected = (
+            ref_ve.proposed_velocity_estimate[1]
+            if ours_ve.azimuth_estimate_R2 >= ours_ve.min_R2_threshold
+            else 0.0
+        )
+        np.testing.assert_allclose(ours_out[1:], [vy_expected, 0.0], atol=0.1)
+    else:
+        np.testing.assert_allclose(ours_out, ref_out, atol=0.1)
