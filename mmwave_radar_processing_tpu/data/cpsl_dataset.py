@@ -60,6 +60,9 @@ class CpslDS:
         self.radar_enabled = bool(self._files["radar_adc"])
         self.lidar_enabled = bool(self._files["lidar"])
         self.camera_enabled = bool(self._files["camera"])
+        self.hand_tracking_enabled = bool(self._files["hand_tracking"])
+        self.imu_orientation_enabled = bool(self._files["imu_orientation"])
+        self.imu_full_enabled = bool(self._files["imu_full"])
         self.vehicle_vel_enabled = bool(self._files["vehicle_vel"])
         self.vehicle_odom_enabled = bool(self._files["vehicle_odom"])
         self.num_frames = len(self._files["radar_adc"])
@@ -85,8 +88,34 @@ class CpslDS:
         """Odometry rows ``(M, >=11)``; columns 8:11 are vx,vy,vz ground truth."""
         return np.load(self._files["vehicle_odom"][idx])
 
+    def get_radar_data(self, idx: int) -> np.ndarray:
+        """Radar frame for ``idx`` — alias of :meth:`get_radar_adc_data`.
+
+        The reference consumes both ADC cubes and pre-generated point clouds
+        through this name, depending on which folder the dataset was pointed
+        at (call sites: ``plotting/movies_synthetic_array_data.py:31``,
+        ``plotting/movies_odometry.py:54,84``,
+        ``notebooks/view_radar_data_hand_tracking.ipynb``).
+        """
+        return self.get_radar_adc_data(idx)
+
     def get_vehicle_vel_data(self, idx: int) -> np.ndarray:
         return np.load(self._files["vehicle_vel"][idx])
+
+    def get_hand_tracking_data(self, idx: int) -> np.ndarray:
+        """Hand-joint rows ``(J, 3)`` for frame ``idx`` (ref hand notebook)."""
+        assert self.hand_tracking_enabled, "hand tracking not in dataset"
+        return np.load(self._files["hand_tracking"][idx])
+
+    def get_imu_orientation_data(self, idx: int) -> np.ndarray:
+        """Orientation quaternion/euler rows for frame ``idx``."""
+        assert self.imu_orientation_enabled, "imu orientation not in dataset"
+        return np.load(self._files["imu_orientation"][idx])
+
+    def get_imu_full_data(self, idx: int) -> np.ndarray:
+        """Full IMU rows (gyro+accel) for frame ``idx``."""
+        assert self.imu_full_enabled, "full imu data not in dataset"
+        return np.load(self._files["imu_full"][idx])
 
     def get_lidar_point_cloud_raw(self, idx: int) -> np.ndarray:
         return np.load(self._files["lidar"][idx])
@@ -101,14 +130,27 @@ class CpslDS:
         return imageio.imread(path)
 
 
+def _write_frames(dataset_path: str, folder: str, frames) -> None:
+    out_dir = os.path.join(dataset_path, folder)
+    os.makedirs(out_dir, exist_ok=True)
+    for i, frame in enumerate(frames):
+        np.save(os.path.join(out_dir, f"frame_{i:05d}.npy"), frame)
+
+
 def write_dataset(
     dataset_path: str,
     adc_frames: np.ndarray,
     odom: Optional[np.ndarray] = None,
     vel: Optional[np.ndarray] = None,
+    hand_tracking: Optional[np.ndarray] = None,
+    imu_orientation: Optional[np.ndarray] = None,
+    imu_full: Optional[np.ndarray] = None,
     radar_adc_folder: str = "radar_0_adc",
     vehicle_odom_folder: str = "vehicle_odom",
     vehicle_vel_folder: str = "vehicle_vel",
+    hand_tracking_folder: str = "hand_tracking",
+    imu_orientation_folder: str = "imu_orientation",
+    imu_full_folder: str = "imu_data",
 ) -> None:
     """Materialize frames (and optional ground truth) in the CpslDS layout.
 
@@ -116,21 +158,20 @@ def write_dataset(
         adc_frames: ``[frames, rx, sample, chirp]`` complex.
         odom: optional ``[frames, M, >=11]`` odometry (cols 8:11 = velocity).
         vel: optional ``[frames, M, >=3]`` velocity rows.
+        hand_tracking: optional ``[frames, J, 3]`` hand-joint positions.
+        imu_orientation: optional ``[frames, 4]`` orientation quaternions.
+        imu_full: optional ``[frames, 6]`` gyro+accel rows.
     """
-    radar_dir = os.path.join(dataset_path, radar_adc_folder)
-    os.makedirs(radar_dir, exist_ok=True)
-    for i, frame in enumerate(adc_frames):
-        np.save(os.path.join(radar_dir, f"frame_{i:05d}.npy"), frame)
-    if odom is not None:
-        odom_dir = os.path.join(dataset_path, vehicle_odom_folder)
-        os.makedirs(odom_dir, exist_ok=True)
-        for i, row in enumerate(odom):
-            np.save(os.path.join(odom_dir, f"frame_{i:05d}.npy"), row)
-    if vel is not None:
-        vel_dir = os.path.join(dataset_path, vehicle_vel_folder)
-        os.makedirs(vel_dir, exist_ok=True)
-        for i, row in enumerate(vel):
-            np.save(os.path.join(vel_dir, f"frame_{i:05d}.npy"), row)
+    _write_frames(dataset_path, radar_adc_folder, adc_frames)
+    for data, folder in [
+        (odom, vehicle_odom_folder),
+        (vel, vehicle_vel_folder),
+        (hand_tracking, hand_tracking_folder),
+        (imu_orientation, imu_orientation_folder),
+        (imu_full, imu_full_folder),
+    ]:
+        if data is not None:
+            _write_frames(dataset_path, folder, data)
 
 
 def make_odom_rows(velocity: np.ndarray, rows: int = 5) -> np.ndarray:

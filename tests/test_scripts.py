@@ -62,6 +62,52 @@ def test_view_radar_data_script(sim_dataset, tmp_path):
     assert os.path.getsize(out) > 10000
 
 
+def test_multi_vel_estimation_script():
+    """Shipped multi-dataset YAML end-to-end (ref test_multi_vel_estimation.py:33-80).
+
+    Simulates the two datasets at the shipped YAML's default paths, then runs
+    the script against the shipped config verbatim — per-dataset and pooled
+    error reports must come out.
+    """
+    for path, seed in [("/tmp/sim_radvel_a", "0"), ("/tmp/sim_radvel_b", "1")]:
+        if not os.path.isdir(os.path.join(path, "radar_0_adc")):
+            r = _run([
+                "scripts/simulate_dataset.py", "--out", path, "--frames", "10",
+                "--vx", "0.4", "--altitude", "1.0", "--ramp-frames", "5",
+                "--seed", seed,
+            ])
+            assert r.returncode == 0, r.stderr[-2000:]
+    r = _run([
+        "scripts/test_multi_vel_estimation.py",
+        "--config", "analyzer_configs/multi_dataset_velocity_analysis_config.yaml",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sim_radvel_a" in r.stdout and "sim_radvel_b" in r.stdout
+    assert "pooled over all datasets" in r.stdout
+    assert "RMSE" in r.stdout
+
+
+def test_dataset_aux_modalities(tmp_path):
+    """hand_tracking / imu_orientation / imu_full round-trip through CpslDS."""
+    from mmwave_radar_processing_tpu.data.cpsl_dataset import CpslDS, write_dataset
+
+    frames = 3
+    adc = (np.random.default_rng(0).normal(size=(frames, 2, 4, 6))
+           + 1j * np.random.default_rng(1).normal(size=(frames, 2, 4, 6)))
+    hand = np.arange(frames * 5 * 3, dtype=float).reshape(frames, 5, 3)
+    quat = np.tile([0.0, 0.0, 0.0, 1.0], (frames, 1))
+    imu = np.ones((frames, 6))
+    write_dataset(str(tmp_path), adc, hand_tracking=hand,
+                  imu_orientation=quat, imu_full=imu)
+    ds = CpslDS(str(tmp_path))
+    assert ds.hand_tracking_enabled and ds.imu_orientation_enabled
+    assert ds.imu_full_enabled and not ds.vehicle_odom_enabled
+    np.testing.assert_array_equal(ds.get_hand_tracking_data(1), hand[1])
+    np.testing.assert_array_equal(ds.get_imu_orientation_data(2), quat[2])
+    np.testing.assert_array_equal(ds.get_imu_full_data(0), imu[0])
+    np.testing.assert_array_equal(ds.get_radar_data(1), ds.get_radar_adc_data(1))
+
+
 def test_dbs_demo_script(tmp_path):
     out = str(tmp_path / "dbs.png")
     r = _run(["scripts/doppler_beam_sharpening_demo.py", "--out", out])
