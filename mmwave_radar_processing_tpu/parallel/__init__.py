@@ -16,6 +16,9 @@ range/Doppler bins, and steering angles.  This package makes them first-class:
   ``psum`` over partial element sums; snapshot-sharded Capon covariance.
 - :mod:`~mmwave_radar_processing_tpu.parallel.capon_pipeline` — fused
   frame-batched Capon/Bartlett range-azimuth heatmap pipeline.
+- :mod:`~mmwave_radar_processing_tpu.parallel.overlap_save` — sample-axis-
+  sharded spectral zoom (demod -> FIR -> decimate -> zoom DFT) with
+  overlap-save boundary exchange, bit-identical to the unsharded op.
 """
 
 from mmwave_radar_processing_tpu.parallel.mesh import make_mesh
@@ -40,6 +43,9 @@ from mmwave_radar_processing_tpu.parallel.spectral_pipeline import (
     build_micro_doppler_pipeline,
     build_spectral_maps_pipeline,
 )
+from mmwave_radar_processing_tpu.parallel.overlap_save import (
+    build_sharded_zoom_fir,
+)
 
 __all__ = [
     "make_mesh",
@@ -54,4 +60,5 @@ __all__ = [
     "build_dbs_pipeline",
     "build_micro_doppler_pipeline",
     "build_spectral_maps_pipeline",
+    "build_sharded_zoom_fir",
 ]

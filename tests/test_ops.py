@@ -376,3 +376,58 @@ def test_os_detect_small_input_all_false():
         cfar.os_2d_detect(jnp.ones((5, 5)), num_train=(3, 3), num_guard=(1, 1),
                           rho=0.5, alpha=2.0)
     ).any()
+
+
+def test_zoom_fft_fir_localizes_tones():
+    """demod->FIR->decimate->zoom DFT: in-band tone found, out-of-band killed."""
+    import jax.numpy as jnp
+
+    from mmwave_radar_processing_tpu.ops import zoom_fir
+    from mmwave_radar_processing_tpu.ops.mxu import C2, cabs
+
+    fs, n, decim, m = 1000.0, 2048, 8, 64
+    f_center = 200.0
+    band_w = fs / decim  # 125 Hz analysis band around 200 Hz
+    # bin-centered in-band tone (rectangular zoom-DFT window nulls leakage at
+    # the other bins, so the floor isolates FIR stopband rejection)
+    f_in = f_center - band_w / 2 + 40 * band_w / m
+    f_out = 350.0     # far outside; aliases into band after decimation
+    j = np.arange(n) / fs
+    tone = np.exp(2j * np.pi * f_in * j) + np.exp(2j * np.pi * f_out * j)
+    x = C2(jnp.asarray(tone.real, jnp.float32), jnp.asarray(tone.imag, jnp.float32))
+
+    band = band_w
+    out = zoom_fir.zoom_fft_fir(
+        x, f_center=f_center, fs=fs, decim=decim, num_taps=65, m=m,
+        f1=-band / 2, f2=band / 2,
+    )
+    mag = np.asarray(cabs(out))
+    freqs = f_center + (-band / 2 + np.arange(m) * band / m)
+    peak_f = freqs[np.argmax(mag)]
+    assert abs(peak_f - f_in) <= band / m, (peak_f, f_in)
+    # the out-of-band tone is suppressed by the FIR stopband
+    inband = mag.max()
+    far_mask = np.abs(freqs - f_in) > 4 * band / m
+    assert mag[far_mask].max() < 0.05 * inband
+
+
+def test_zoom_fft_fir_batch_and_guards():
+    import jax.numpy as jnp
+    import pytest
+
+    from mmwave_radar_processing_tpu.ops import zoom_fir
+    from mmwave_radar_processing_tpu.ops.mxu import C2
+
+    rng = np.random.default_rng(0)
+    x = C2(jnp.asarray(rng.standard_normal((3, 256)), jnp.float32),
+           jnp.asarray(rng.standard_normal((3, 256)), jnp.float32))
+    out = zoom_fir.zoom_fft_fir(x, f_center=0.0, fs=2.0, decim=4, num_taps=33,
+                                m=16, f1=-0.25, f2=0.25)
+    assert out.re.shape == (3, 16)
+    with pytest.raises(ValueError, match="multiple of decim"):
+        zoom_fir.zoom_fft_fir(
+            C2(x.re[:, :255], x.im[:, :255]), f_center=0.0, fs=2.0, decim=4,
+            num_taps=33, m=16, f1=-0.25, f2=0.25,
+        )
+    with pytest.raises(ValueError, match="odd"):
+        zoom_fir.lowpass_taps(32, 0.25, 2.0)

@@ -189,3 +189,46 @@ def test_pipeline_sharded_mxu(flagship_config, mesh):
     np.testing.assert_array_equal(np.asarray(out.count), np.asarray(ref.count))
     np.testing.assert_allclose(np.asarray(out.points), np.asarray(ref.points),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_overlap_save_zoom_bit_identical(mesh, rng):
+    """Sample-axis-sharded zoom (overlap-save FIR halo) == unsharded, bitwise."""
+    from mmwave_radar_processing_tpu.ops import zoom_fir
+    from mmwave_radar_processing_tpu.ops.mxu import C2
+    from mmwave_radar_processing_tpu.parallel.overlap_save import (
+        build_sharded_zoom_fir,
+    )
+
+    n, batch = 512, 3
+    params = dict(f_center=0.31, fs=2.0, decim=4, num_taps=33, m=48,
+                  f1=-0.2, f2=0.2)
+    xr = rng.standard_normal((batch, n)).astype(np.float32)
+    xi = rng.standard_normal((batch, n)).astype(np.float32)
+    x = C2(jnp.asarray(xr), jnp.asarray(xi))
+
+    ref = zoom_fir.zoom_fft_fir(x, **params)
+
+    fn = build_sharded_zoom_fir(mesh, n=n, axis="data", **params)
+    sh = NamedSharding(mesh, P(None, "data"))
+    with mesh:
+        out = fn(C2(jax.device_put(xr, sh), jax.device_put(xi, sh)))
+    np.testing.assert_array_equal(np.asarray(out.re), np.asarray(ref.re))
+    np.testing.assert_array_equal(np.asarray(out.im), np.asarray(ref.im))
+
+
+def test_overlap_save_guards(mesh, rng):
+    """Trace-time guards: halo wider than a shard, misaligned decimation."""
+    from mmwave_radar_processing_tpu.ops.mxu import C2
+    from mmwave_radar_processing_tpu.parallel.overlap_save import (
+        build_sharded_zoom_fir,
+    )
+
+    with pytest.raises(ValueError, match="multiple of decim"):
+        build_sharded_zoom_fir(mesh, n=36, axis="data", f_center=0.0, fs=2.0,
+                               decim=6, num_taps=5, m=8, f1=-0.1, f2=0.1)
+    fn = build_sharded_zoom_fir(mesh, n=64, axis="data", f_center=0.0, fs=2.0,
+                                decim=4, num_taps=33, m=8, f1=-0.1, f2=0.1)
+    xr = rng.standard_normal((2, 64)).astype(np.float32)
+    sh = NamedSharding(mesh, P(None, "data"))
+    with mesh, pytest.raises(ValueError, match="samples_per_shard"):
+        fn(C2(jax.device_put(xr, sh), jax.device_put(xr, sh)))
