@@ -140,6 +140,11 @@ class MmWaveDataMovieGenerator(MovieGenerator):
             panels["micro_doppler"] = self.processors["micro_doppler"].process(adc)
         if "doppler_azimuth" in self.processors:
             panels["doppler_azimuth"] = self.processors["doppler_azimuth"].process(adc)
+        if "zoomed_doppler_azimuth" in self.processors:
+            zoom_resp, _, _ = self.processors[
+                "zoomed_doppler_azimuth"
+            ].process(adc, use_precise_fft=True)
+            panels["zoomed_doppler_azimuth"] = zoom_resp
 
         camera = None
         if getattr(self.dataset, "camera_enabled", False):
@@ -155,6 +160,7 @@ class MmWaveDataMovieGenerator(MovieGenerator):
             micro_doppler=panels.get("micro_doppler"),
             doppler_azimuth=panels.get("doppler_azimuth"),
             camera_frame=camera,
+            zoomed_doppler_azimuth=panels.get("zoomed_doppler_azimuth"),
             processors=self.processors,
         )
 

@@ -96,8 +96,19 @@ class PlotterMmWaveData:
 
     def plot_doppler_azimuth(self, resp_mag, processor, ax=None,
                              convert_to_dB: bool = True, peaks=None,
-                             gt_predictions=None, vel_bins=None):
-        """Doppler-azimuth map with optional peak and GT overlays."""
+                             gt_predictions=None, vel_bins=None,
+                             vd_ground_truth=None, vd_estimated=None,
+                             title: str = "Doppler-Azimuth"):
+        """Doppler-azimuth map with optional peak / GT / estimate overlays.
+
+        Overlay contract matches the reference ``plot_doppler_az_resp``
+        (``plotter_mmWave_data.py:324-425``): ``peaks`` are ``(angle_rad,
+        vel)`` rows drawn as red crosses; ``vd_ground_truth`` /
+        ``vd_estimated`` are per-valid-angle velocity-measurement curves
+        (from ``get_gt_velocity_measurement_predictions`` /
+        ``get_estimated_velocity_measurement_predictions``) drawn orange /
+        white.  ``gt_predictions`` is a legacy alias of ``vd_ground_truth``.
+        """
         ax = _ensure_ax(ax)
         data = _to_db(resp_mag, self.min_threshold_dB) if convert_to_dB else np.asarray(resp_mag)
         vb = np.asarray(vel_bins) if vel_bins is not None else processor.vel_bins
@@ -109,14 +120,52 @@ class PlotterMmWaveData:
         if peaks is not None and np.size(peaks):
             peaks = np.atleast_2d(np.asarray(peaks))
             ax.scatter(np.rad2deg(peaks[:, 0]), peaks[:, 1], c="r", marker="x",
-                       s=20, label="peaks")
-        if gt_predictions is not None and np.size(gt_predictions):
-            ax.plot(np.rad2deg(processor.valid_angle_bins), gt_predictions, "w--",
-                    lw=1, label="GT model")
+                       s=20, label="Detected Peaks")
+        if vd_ground_truth is None:
+            vd_ground_truth = gt_predictions
+        angles_deg = np.rad2deg(np.asarray(processor.valid_angle_bins))
+        if vd_ground_truth is not None and np.size(vd_ground_truth):
+            ax.plot(angles_deg, np.asarray(vd_ground_truth), color="orange",
+                    lw=2, label="Ground Truth Velocity")
+        if vd_estimated is not None and np.size(vd_estimated):
+            ax.plot(angles_deg, np.asarray(vd_estimated), color="white",
+                    lw=2, label="Estimated Velocity")
+        if ax.get_legend_handles_labels()[0]:
+            ax.legend(fontsize=self.font_size - 2)
         ax.set_xlabel("azimuth (deg)", fontsize=self.font_size)
         ax.set_ylabel("velocity (m/s)", fontsize=self.font_size)
-        ax.set_title("Doppler-Azimuth", fontsize=self.font_size)
+        ax.set_ylim(float(vb.min()), float(vb.max()))
+        ax.set_title(title, fontsize=self.font_size)
         return m
+
+    def plot_zoomed_doppler_azimuth(self, resp_mag, processor, ax=None,
+                                    convert_to_dB: bool = True, peaks=None,
+                                    vd_ground_truth=None, vd_estimated=None):
+        """Precise (zoom-FFT) Doppler-azimuth map on ``zoomed_vel_bins``.
+
+        Counterpart of the reference ``plot_zoomed_doppler_az_resp``
+        (``plotter_mmWave_data.py:427-531``): same overlays as the coarse
+        panel but the velocity axis is the zoom grid the precise pass
+        produced (``processor.zoomed_vel_bins``).
+        """
+        if processor.zoomed_vel_bins is None:
+            raise ValueError(
+                "no zoomed velocity grid: run the processor with "
+                "use_precise_fft=True before plotting the zoomed response"
+            )
+        resp_mag = np.asarray(resp_mag)
+        row_valid = getattr(processor, "zoomed_vel_valid", None)
+        if row_valid is not None:
+            # fixed-capacity zoom rows: blank the invalid rows (they hold
+            # padding, not measurements) so the dB floor renders them dark
+            resp_mag = np.where(np.asarray(row_valid)[:, None], resp_mag, 0.0)
+        return self.plot_doppler_azimuth(
+            resp_mag, processor, ax=ax, convert_to_dB=convert_to_dB,
+            peaks=peaks, vd_ground_truth=vd_ground_truth,
+            vd_estimated=vd_estimated,
+            vel_bins=np.asarray(processor.zoomed_vel_bins),
+            title="Zoomed Doppler-Azimuth",
+        )
 
     # 1D ----------------------------------------------------------------- #
     def plot_range_profile(self, rng_resp, processor, ax=None,
@@ -182,34 +231,47 @@ class PlotterMmWaveData:
         micro_doppler=None,
         doppler_azimuth=None,
         camera_frame=None,
+        zoomed_doppler_azimuth=None,
         processors: Optional[dict] = None,
         fig=None,
     ):
-        """2x3 dashboard: raw ADC, RD, RA, micro-Doppler, DA, camera.
+        """2x3 dashboard in the reference's panel layout (:738-860).
 
-        ``processors`` maps panel name -> processor (for bins/meshes);
-        missing panels are left blank (reference :738-860).
+        Cells: ``[0,0]`` raw ADC, ``[0,1]`` range-Doppler, ``[0,2]``
+        Doppler-azimuth, ``[1,0]`` cartesian range-azimuth, ``[1,1]``
+        micro-Doppler, ``[1,2]`` camera.  ``processors`` maps panel name ->
+        processor (for bins/meshes); missing panels are left blank.
+
+        Extension beyond the reference compilation: when no camera frame is
+        available, ``zoomed_doppler_azimuth`` (the precise zoom-FFT response;
+        needs ``processors["zoomed_doppler_azimuth"]`` run with
+        ``use_precise_fft=True``) fills the ``[1,2]`` cell instead.
         """
         processors = processors or {}
         if fig is None:
-            fig = plt.figure(figsize=(14, 8))
+            fig = plt.figure(figsize=(15, 10))
         axes = fig.subplots(2, 3)
+        fig.subplots_adjust(wspace=0.3, hspace=0.30)
         self.plot_raw_adc(adc_cube, ax=axes[0, 0])
         if range_doppler is not None:
             self.plot_range_doppler_heatmap(range_doppler,
                                             processors["range_doppler"], ax=axes[0, 1])
-        if range_angle is not None:
-            self.plot_range_azimuth_heatmap_cart(range_angle,
-                                                 processors["range_angle"], ax=axes[0, 2])
-        if micro_doppler is not None:
-            self.plot_micro_doppler(micro_doppler,
-                                    processors["micro_doppler"], ax=axes[1, 0])
         if doppler_azimuth is not None:
             self.plot_doppler_azimuth(doppler_azimuth,
-                                      processors["doppler_azimuth"], ax=axes[1, 1])
+                                      processors["doppler_azimuth"], ax=axes[0, 2])
+        if range_angle is not None:
+            self.plot_range_azimuth_heatmap_cart(range_angle,
+                                                 processors["range_angle"], ax=axes[1, 0])
+        if micro_doppler is not None:
+            self.plot_micro_doppler(micro_doppler,
+                                    processors["micro_doppler"], ax=axes[1, 1])
         if camera_frame is not None:
             axes[1, 2].imshow(np.asarray(camera_frame))
-            axes[1, 2].set_title("Camera", fontsize=self.font_size)
+            axes[1, 2].set_title("Frontal Camera View", fontsize=self.font_size)
             axes[1, 2].axis("off")
-        fig.tight_layout()
+        elif zoomed_doppler_azimuth is not None:
+            self.plot_zoomed_doppler_azimuth(
+                zoomed_doppler_azimuth,
+                processors["zoomed_doppler_azimuth"], ax=axes[1, 2],
+            )
         return fig

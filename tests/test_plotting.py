@@ -78,7 +78,48 @@ def test_plotters_render(flagship_config, dataset):
     plt.close(fig)
 
 
+def test_doppler_azimuth_panels_with_overlays(flagship_config, dataset):
+    """Coarse + zoomed Doppler-azimuth panels with peak/GT/estimate overlays
+    (reference plot_doppler_az_resp :324-425 / plot_zoomed_doppler_az_resp
+    :427-531)."""
+    from mmwave_radar_processing_tpu.processors import DopplerAzimuthProcessor
+
+    var = VirtualArrayReformatter(flagship_config)
+    adc = np.asarray(var.process(dataset.get_radar_adc_data(0)))
+    da = DopplerAzimuthProcessor(flagship_config)
+
+    coarse = np.asarray(da.process(adc))
+    angles = np.asarray(da.valid_angle_bins)
+    vd_gt = 0.3 * np.cos(angles)
+    vd_est = 0.28 * np.cos(angles)
+    peaks = np.array([[angles[len(angles) // 2], 0.3]])
+    plotter = PlotterMmWaveData(flagship_config)
+
+    fig, ax = plt.subplots()
+    plotter.plot_doppler_azimuth(coarse, da, ax=ax, peaks=peaks,
+                                 vd_ground_truth=vd_gt, vd_estimated=vd_est)
+    labels = ax.get_legend_handles_labels()[1]
+    assert {"Detected Peaks", "Ground Truth Velocity",
+            "Estimated Velocity"} <= set(labels)
+    plt.close(fig)
+
+    # zoomed panel requires the precise pass first
+    fig, ax = plt.subplots()
+    with pytest.raises(ValueError, match="use_precise_fft"):
+        plotter.plot_zoomed_doppler_azimuth(coarse, da, ax=ax)
+    zoom_resp, zoom_bins, _ = da.process(adc, use_precise_fft=True)
+    plotter.plot_zoomed_doppler_azimuth(np.asarray(zoom_resp), da, ax=ax,
+                                        vd_ground_truth=vd_gt,
+                                        vd_estimated=vd_est)
+    lo, hi = ax.get_ylim()
+    zb = np.asarray(zoom_bins)
+    assert lo == pytest.approx(zb.min()) and hi == pytest.approx(zb.max())
+    plt.close(fig)
+
+
 def test_mmwave_movie_generator(flagship_config, dataset, tmp_path):
+    from mmwave_radar_processing_tpu.processors import DopplerAzimuthProcessor
+
     plotter = PlotterMmWaveData(flagship_config)
     gen = MmWaveDataMovieGenerator(
         flagship_config, dataset, plotter,
@@ -87,6 +128,8 @@ def test_mmwave_movie_generator(flagship_config, dataset, tmp_path):
             "range_angle": RangeAngleProcessor(flagship_config),
             "micro_doppler": MicroDopplerProcessor(flagship_config,
                                                    num_frames_history=4),
+            "doppler_azimuth": DopplerAzimuthProcessor(flagship_config),
+            "zoomed_doppler_azimuth": DopplerAzimuthProcessor(flagship_config),
         },
         reformatter=VirtualArrayReformatter(flagship_config),
         fps=5,
