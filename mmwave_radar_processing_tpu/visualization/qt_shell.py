@@ -1,12 +1,14 @@
 """Optional Qt shell for the viewer (requires PyQt6 + a display).
 
-A thin windowed wrapper over the headless MVC backend: a control panel
-(play/pause, frame slider, dB toggle, movie export) plus a 2x2 grid of
-matplotlib canvases whose views subscribe to the controller's payload stream —
-the reference ``MainWindow`` / ``ControlPanel`` / ``ProcessorViewPanel``
-architecture (``gui/main_window.py``, ``gui/control_panel.py``,
-``gui/processor_view_panel.py``) with matplotlib in place of pyqtgraph.
-The import is deferred so the rest of the package never needs Qt.
+A thin widget layer over :class:`ShellLogic` (which holds all selection /
+caching / browse behavior, Qt-free): a control panel with play/pause, frame
+slider, dB toggle, movie export and dataset/config/params browse dialogs
+(reference ``gui/control_panel.py:110-142``), plus a grid of cells each
+carrying a per-cell view ``QComboBox`` and a matplotlib canvas — the
+reference ``MainWindow`` / ``ControlPanel`` / ``ProcessorViewPanel``
+architecture (``gui/main_window.py``, ``gui/processor_view_panel.py:143-216``)
+with matplotlib in place of pyqtgraph.  The import is deferred so the rest of
+the package never needs Qt.
 """
 
 from __future__ import annotations
@@ -14,25 +16,25 @@ from __future__ import annotations
 from typing import List, Optional
 
 
-def run_qt_viewer(controller, view_keys: Optional[List[str]] = None,
-                  interval_ms: int = 50):
-    """Open the viewer window and start the Qt event loop.
+def build_main_window(controller, view_keys: Optional[List[str]] = None,
+                      interval_ms: int = 50):
+    """Construct (but do not show) the viewer MainWindow.
 
-    Playback uses a ``QTimer`` at ``interval_ms`` (the reference's 50 ms /
-    20 FPS target, ``mmwave_radar_processor_controller.py:170``).
+    Split from :func:`run_qt_viewer` so offscreen tests can instantiate the
+    full widget tree without entering the event loop.
     """
     from PyQt6 import QtCore, QtWidgets
     from matplotlib.backends.backend_qtagg import FigureCanvasQTAgg
     from matplotlib.figure import Figure
 
-    from mmwave_radar_processing_tpu.visualization.views import VIEW_CLASSES
-
-    view_keys = view_keys or list(controller.processors)[:4]
+    from mmwave_radar_processing_tpu.visualization.shell_logic import ShellLogic
 
     class MainWindow(QtWidgets.QMainWindow):
         def __init__(self):
             super().__init__()
             self.setWindowTitle("mmWave Radar Viewer (TPU)")
+            self.logic = ShellLogic(controller, num_cells=4,
+                                    initial_keys=view_keys)
             central = QtWidgets.QWidget()
             layout = QtWidgets.QVBoxLayout(central)
 
@@ -49,37 +51,88 @@ def run_qt_viewer(controller, view_keys: Optional[List[str]] = None,
             self.db_box.setChecked(True)
             self.db_box.stateChanged.connect(self.toggle_db)
             controls.addWidget(self.db_box)
-            export_btn = QtWidgets.QPushButton("Export Movie")
-            export_btn.clicked.connect(self.export_movie)
-            controls.addWidget(export_btn)
+            for label, handler in [
+                ("Browse Dataset", self.browse_dataset),
+                ("Load Config", self.browse_config),
+                ("Load Params", self.browse_params),
+                ("Export Movie", self.export_movie),
+            ]:
+                btn = QtWidgets.QPushButton(label)
+                btn.clicked.connect(handler)
+                controls.addWidget(btn)
             layout.addLayout(controls)
 
-            # --- 2x2 view grid ----------------------------------------- #
+            # --- 2x2 per-cell view grid -------------------------------- #
             grid = QtWidgets.QGridLayout()
-            self.views = {}
-            for i, key in enumerate(view_keys):
+            self.cell_combos: List[QtWidgets.QComboBox] = []
+            self.cell_figs: List[Figure] = []
+            self.cell_canvases: List[FigureCanvasQTAgg] = []
+            for cell in range(self.logic.num_cells):
+                box = QtWidgets.QVBoxLayout()
+                combo = QtWidgets.QComboBox()
+                for key in self.logic.options:
+                    combo.addItem(key or "(none)", key)
+                combo.currentIndexChanged.connect(
+                    lambda _idx, c=cell: self.on_combo_changed(c)
+                )
+                box.addWidget(combo)
                 fig = Figure(figsize=(5, 4))
                 canvas = FigureCanvasQTAgg(fig)
-                ax = fig.add_subplot(111)
-                spec = controller.registry[key]
-                self.views[key] = (VIEW_CLASSES[spec.view_name](ax=ax), canvas)
-                grid.addWidget(canvas, i // 2, i % 2)
+                box.addWidget(canvas)
+                cellw = QtWidgets.QWidget()
+                cellw.setLayout(box)
+                grid.addWidget(cellw, cell // 2, cell % 2)
+                self.cell_combos.append(combo)
+                self.cell_figs.append(fig)
+                self.cell_canvases.append(canvas)
             layout.addLayout(grid)
             self.setCentralWidget(central)
 
-            controller.subscribe_view_update(self.on_view_update)
+            self.logic.set_render_callback(
+                lambda cell: self.cell_canvases[cell].draw_idle()
+            )
+            for cell, key in enumerate(self.logic.panel.assignments):
+                self._sync_combo(cell, key)
+                self._rebuild_cell_view(cell, key)
+
             self.timer = QtCore.QTimer()
             self.timer.setInterval(interval_ms)
             self.timer.timeout.connect(self.tick)
             self.playing = False
             self.frame = 0
 
-        def on_view_update(self, key, payload):
-            if key in self.views:
-                view, canvas = self.views[key]
-                view.set_data(payload)
-                canvas.draw_idle()
+        # cell plumbing ------------------------------------------------- #
+        def _sync_combo(self, cell: int, key: Optional[str]):
+            combo = self.cell_combos[cell]
+            combo.blockSignals(True)
+            combo.setCurrentIndex(combo.findData(key))
+            combo.blockSignals(False)
 
+        def _rebuild_cell_view(self, cell: int, key: Optional[str]):
+            fig = self.cell_figs[cell]
+            fig.clear()
+            if key is None:
+                self.logic.bind_cell_view(cell, None)
+            else:
+                ax = fig.add_subplot(111)
+                view = self.logic.view_class_for(key)(
+                    ax=ax, db_mode=self.db_box.isChecked()
+                )
+                self.logic.bind_cell_view(cell, view)
+            self.cell_canvases[cell].draw_idle()
+
+        def on_combo_changed(self, cell: int):
+            key = self.cell_combos[cell].currentData()
+            self._rebuild_cell_view(cell, key)
+            for changed in self.logic.select_view(cell, key):
+                if changed != cell:  # uniqueness rule cleared another cell
+                    self._sync_combo(changed,
+                                     self.logic.panel.assignments[changed])
+                    self._rebuild_cell_view(
+                        changed, self.logic.panel.assignments[changed]
+                    )
+
+        # playback ------------------------------------------------------- #
         def tick(self):
             if self.frame >= controller.dataset_model.num_frames:
                 self.toggle_play()
@@ -101,9 +154,36 @@ def run_qt_viewer(controller, view_keys: Optional[List[str]] = None,
 
         def toggle_db(self, state):
             enabled = bool(state)
-            for view, canvas in self.views.values():
-                view.set_db_mode(enabled)
-                canvas.draw_idle()
+            for cell in range(self.logic.num_cells):
+                view = self.logic._views.get(cell)
+                if view is not None:
+                    view.set_db_mode(enabled)
+                    self.cell_canvases[cell].draw_idle()
+
+        # browse dialogs (ref control_panel.py:110-142) ------------------- #
+        def browse_dataset(self):
+            path = QtWidgets.QFileDialog.getExistingDirectory(
+                self, "Select Dataset Directory"
+            )
+            if path:
+                n = self.logic.browse_dataset(path)
+                self.slider.setMaximum(max(n - 1, 0))
+                self.frame = 0
+
+        def browse_config(self):
+            path, _ = QtWidgets.QFileDialog.getOpenFileName(
+                self, "Select Radar Config", filter="Radar config (*.cfg)"
+            )
+            if path:
+                self.logic.browse_config(path)
+
+        def browse_params(self):
+            path, _ = QtWidgets.QFileDialog.getOpenFileName(
+                self, "Select Processor Params",
+                filter="YAML (*.yaml *.yml)"
+            )
+            if path:
+                self.logic.browse_processor_params(path)
 
         def export_movie(self):
             path, _ = QtWidgets.QFileDialog.getSaveFileName(
@@ -114,10 +194,23 @@ def run_qt_viewer(controller, view_keys: Optional[List[str]] = None,
                     VideoExporter,
                 )
 
-                VideoExporter(controller, view_keys=list(self.views)).export(path)
+                keys = [k for k in self.logic.panel.assignments if k]
+                VideoExporter(controller, view_keys=keys).export(path)
+
+    return MainWindow()
+
+
+def run_qt_viewer(controller, view_keys: Optional[List[str]] = None,
+                  interval_ms: int = 50):
+    """Open the viewer window and start the Qt event loop.
+
+    Playback uses a ``QTimer`` at ``interval_ms`` (the reference's 50 ms /
+    20 FPS target, ``mmwave_radar_processor_controller.py:170``).
+    """
+    from PyQt6 import QtWidgets
 
     app = QtWidgets.QApplication.instance() or QtWidgets.QApplication([])
-    win = MainWindow()
+    win = build_main_window(controller, view_keys, interval_ms)
     win.resize(1200, 900)
     win.show()
     app.exec()

@@ -27,6 +27,7 @@ class BaseView:
     def __init__(self, ax=None, db_mode: bool = True):
         self.ax = ax if ax is not None else plt.subplots()[1]
         self.db_mode = db_mode
+        self.cmap = "viridis"
         self.latest_payload: Optional[Dict] = None
 
     def set_data(self, payload: Dict) -> None:
@@ -35,6 +36,12 @@ class BaseView:
 
     def set_db_mode(self, enabled: bool) -> None:
         self.db_mode = enabled
+        if self.latest_payload is not None:
+            self.update_view(self.latest_payload)
+
+    def set_colormap(self, cmap: str) -> None:
+        """Re-render with a new colormap (ref ``base_view.py`` colormap API)."""
+        self.cmap = cmap
         if self.latest_payload is not None:
             self.update_view(self.latest_payload)
 
@@ -63,7 +70,7 @@ class HeatmapView(BaseView):
         if xb is not None and yb is not None and np.size(xb) and np.size(yb):
             extent = [xb[0], xb[-1], yb[0], yb[-1]]
         self.ax.imshow(data, aspect="auto", origin="lower", extent=extent,
-                       cmap="viridis")
+                       cmap=self.cmap)
         self.ax.set_xlabel(self.x_label)
         self.ax.set_ylabel(self.y_label)
         self.ax.set_title(self.title)
@@ -182,6 +189,55 @@ class PointCloudView(BaseView):
         self.ax.set_title("Point Cloud")
 
 
+class PointCloud3DView(BaseView):
+    """3D velocity-colored point cloud with colorbar.
+
+    Matplotlib-3D re-design of the reference OpenGL view
+    (``views/point_cloud_view.py:26-156``): ``(x, y, z)`` scatter colored by
+    radial velocity clipped to the configurable ``[min_vel, max_vel]`` window
+    (ref :66-68), colorbar labeled in m/s (ref :73-117), same ``(N, 4)``
+    array-or-dict payload contract (ref :119-133).
+    """
+
+    def __init__(self, ax=None, db_mode: bool = True,
+                 min_vel: float = -0.25, max_vel: float = 0.25):
+        if ax is None:
+            ax = plt.figure().add_subplot(projection="3d")
+        elif ax.name != "3d":
+            # replace a 2D axes handed in by a generic shell with a 3D one
+            # in the same figure slot
+            fig, pos = ax.figure, ax.get_position()
+            ax.remove()
+            ax = fig.add_subplot(projection="3d")
+            ax.set_position(pos)
+        super().__init__(ax=ax, db_mode=db_mode)
+        self.min_vel = min_vel
+        self.max_vel = max_vel
+        self._colorbar = None
+
+    def update_view(self, payload):
+        data = payload.get("data") if isinstance(payload, dict) else payload
+        pts = np.asarray(data).reshape(-1, 4) if np.size(data) else np.empty((0, 4))
+        self.ax.clear()
+        if pts.shape[0]:
+            norm = plt.Normalize(self.min_vel, self.max_vel)
+            sc = self.ax.scatter(
+                pts[:, 0], pts[:, 1], pts[:, 2],
+                c=np.clip(pts[:, 3], self.min_vel, self.max_vel),
+                cmap=self.cmap, norm=norm, s=8,
+            )
+            if self._colorbar is None:
+                self._colorbar = self.ax.figure.colorbar(
+                    sc, ax=self.ax, shrink=0.7, label="Velocity (m/s)"
+                )
+            else:
+                self._colorbar.update_normal(sc)
+        self.ax.set_xlabel("x (m)")
+        self.ax.set_ylabel("y (m)")
+        self.ax.set_zlabel("z (m)")
+        self.ax.set_title("Point Cloud (3D)")
+
+
 VIEW_CLASSES = {
     "range_doppler": RangeDopplerView,
     "range_response": RangeResponseView,
@@ -192,4 +248,5 @@ VIEW_CLASSES = {
     "range_doppler_detector": RangeDopplerDetectorView,
     "altitude": AltitudeView,
     "point_cloud": PointCloudView,
+    "point_cloud_3d": PointCloud3DView,
 }

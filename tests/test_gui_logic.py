@@ -1,0 +1,306 @@
+"""GUI-logic suite mirroring the reference ``tests/verify_gui_logic.py``.
+
+The reference runs 12 QApplication tests over its pyqtgraph views and the
+ProcessorViewPanel.  Our views render into matplotlib Axes and all shell
+wiring lives in the Qt-free :class:`ShellLogic`, so the same behaviors are
+pinned headless: per-view payload/dB/colormap semantics, hidden-view payload
+caching with render-on-reveal, per-cell uniqueness, and the browse actions.
+A final test instantiates the real Qt window offscreen when PyQt6 exists
+(not shipped in this container — skipif-guarded).
+"""
+
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pytest
+import yaml
+
+from mmwave_radar_processing_tpu.visualization.views import (
+    AltitudeView,
+    DopplerAzimuthView,
+    MicroDopplerView,
+    PointCloud3DView,
+    PointCloudView,
+    RangeAngleView,
+    RangeDetectorView,
+    RangeDopplerDetectorView,
+    RangeDopplerView,
+    RangeResponseView,
+)
+
+
+def _db(x):
+    return 20.0 * np.log10(np.maximum(np.abs(x), 1e-12))
+
+
+def _image_data(view):
+    return np.asarray(view.ax.images[-1].get_array())
+
+
+@pytest.fixture()
+def ax():
+    fig, ax = plt.subplots()
+    yield ax
+    plt.close(fig)
+
+
+# --- per-view payload / dB / colormap semantics (ref tests 1-5) ----------- #
+def test_range_angle_view(ax):
+    view = RangeAngleView(ax=ax, db_mode=False)
+    data = np.random.default_rng(0).random((10, 20))
+    payload = {"data": data, "range_bins": np.linspace(0, 10, 10),
+               "angle_bins": np.linspace(-1, 1, 20)}
+    view.set_data(payload)
+    assert view.latest_payload is payload
+    np.testing.assert_allclose(_image_data(view), data)
+    view.set_db_mode(True)
+    np.testing.assert_allclose(_image_data(view), _db(data))
+    view.set_colormap("magma")
+    assert view.ax.images[-1].get_cmap().name == "magma"
+
+
+def test_micro_doppler_view(ax):
+    view = MicroDopplerView(ax=ax, db_mode=False)
+    data = np.random.default_rng(1).random((30, 40))
+    view.set_data({"data": data, "vel_bins": np.linspace(-5, 5, 30),
+                   "time_bins": np.linspace(0, 2, 40)})
+    np.testing.assert_allclose(_image_data(view), data)
+    view.set_db_mode(True)
+    np.testing.assert_allclose(_image_data(view), _db(data))
+
+
+def test_doppler_azimuth_view(ax):
+    view = DopplerAzimuthView(ax=ax, db_mode=False)
+    data = np.random.default_rng(2).random((15, 25))
+    view.set_data({"data": data, "vel_bins": np.linspace(-5, 5, 15),
+                   "valid_angle_bins": np.linspace(-1, 1, 25)})
+    np.testing.assert_allclose(_image_data(view), data)
+    # the zoomed grid takes precedence when it matches the data rows
+    zoomed = np.linspace(-0.3, 0.3, 15)
+    view.set_data({"data": data, "vel_bins": np.linspace(-5, 5, 15),
+                   "zoomed_vel_bins": zoomed,
+                   "valid_angle_bins": np.linspace(-1, 1, 25)})
+    assert view.ax.images[-1].get_extent()[2] == pytest.approx(zoomed[0])
+
+
+def test_range_doppler_view(ax):
+    view = RangeDopplerView(ax=ax, db_mode=True)
+    data = np.random.default_rng(3).random((12, 18)) + 0.1
+    view.set_data({"data": data, "range_bins": np.linspace(0, 5, 12),
+                   "vel_bins": np.linspace(-2, 2, 18)})
+    np.testing.assert_allclose(_image_data(view), _db(data))
+
+
+def test_range_response_view(ax):
+    view = RangeResponseView(ax=ax, db_mode=False)
+    data = np.random.default_rng(4).random(64) + 0.1
+    view.set_data({"data": data, "range_bins": np.linspace(0, 4, 64)})
+    line = view.ax.lines[0]
+    np.testing.assert_allclose(line.get_ydata(), data)
+    view.set_db_mode(True)
+    np.testing.assert_allclose(view.ax.lines[0].get_ydata(), _db(data))
+
+
+# --- detector views (ref tests 6-7, 10) ------------------------------------ #
+def test_range_doppler_detector_2d_view(ax):
+    view = RangeDopplerDetectorView(ax=ax, db_mode=False)
+    resp = np.random.default_rng(5).random((12, 18)) + 0.1
+    dets = np.array([[3, 4], [7, 10]])
+    view.set_data({"data": dets, "rng_dop_resp": resp,
+                   "range_bins": np.linspace(0, 5, 12),
+                   "vel_bins": np.linspace(-2, 2, 18)})
+    np.testing.assert_allclose(_image_data(view), resp)
+    assert view.ax.collections, "detection markers missing"
+    marker_xy = view.ax.collections[-1].get_offsets()
+    assert marker_xy.shape == (2, 2)
+
+
+def test_range_detector_view(ax):
+    view = RangeDetectorView(ax=ax, db_mode=False)
+    resp = np.random.default_rng(6).random(64) + 0.1
+    thr = np.full(64, 0.5)
+    thr[:5] = np.inf
+    view.set_data({"data": np.array([10, 20]), "range_resp": resp,
+                   "thresholds": thr, "range_bins": np.linspace(0, 4, 64)})
+    assert len(view.ax.lines) == 2  # profile + threshold
+    assert view.ax.collections  # detection scatter
+    labels = view.ax.get_legend_handles_labels()[1]
+    assert {"profile", "threshold", "detections"} <= set(labels)
+
+
+def test_sequential_ground_detector_view(ax):
+    """The sequential/ground detectors reuse the RD-detector view contract
+    (ref test_range_doppler_ground_detector_sequential)."""
+    view = RangeDopplerDetectorView(ax=ax, db_mode=False)
+    resp = np.random.default_rng(7).random((20, 30)) + 0.1
+    view.set_data({"data": np.empty((0, 2), int), "rng_dop_resp": resp,
+                   "range_bins": np.linspace(0, 5, 20),
+                   "vel_bins": np.linspace(-2, 2, 30)})
+    np.testing.assert_allclose(_image_data(view), resp)  # no markers, no crash
+
+
+# --- point cloud + altitude views (ref tests 8-9, 11) ----------------------- #
+def test_point_cloud_view(ax):
+    view = PointCloudView(ax=ax)
+    pts = np.column_stack([np.random.default_rng(8).random((25, 3)),
+                           np.linspace(-1, 1, 25)])
+    view.set_data({"data": pts})
+    xy = view.ax.collections[0].get_offsets()
+    np.testing.assert_allclose(np.asarray(xy)[:, 0], pts[:, 1])  # x-axis = y
+    view.set_data({"data": np.empty((0, 4))})  # empty cloud must not crash
+
+
+def test_point_cloud_3d_view():
+    fig, ax2d = plt.subplots()
+    view = PointCloud3DView(ax=ax2d, min_vel=-0.25, max_vel=0.25)
+    assert view.ax.name == "3d"  # 2D axes handed in is replaced in place
+    pts = np.column_stack([np.random.default_rng(9).random((30, 3)),
+                           np.linspace(-1.0, 1.0, 30)])
+    view.set_data({"data": pts})
+    sc = view.ax.collections[-1]
+    # velocity coloring is clipped to the configured window (ref :66-68,:147)
+    clim = sc.get_clim()
+    assert clim == (-0.25, 0.25)
+    assert np.max(np.asarray(sc.get_array())) <= 0.25 + 1e-9
+    assert view._colorbar is not None
+    assert view._colorbar.ax.get_ylabel() == "Velocity (m/s)"
+    view.set_data(pts)  # raw-array payload form (ref :119-133)
+    view.set_data({"data": np.empty((0, 4))})
+    plt.close(fig)
+
+
+def test_altitude_view(ax):
+    view = AltitudeView(ax=ax, db_mode=False)
+    coarse = np.random.default_rng(10).random(64) + 0.1
+    view.set_data({"data": np.array(1.25), "coarse_fft_data": coarse,
+                   "range_bins": np.linspace(0, 4, 64)})
+    marker = [ln for ln in view.ax.lines if ln.get_linestyle() == "--"]
+    assert marker and marker[-1].get_xdata()[0] == pytest.approx(1.25)
+
+
+# --- panel caching / uniqueness / browse (ref test 12 + control panel) ------ #
+@pytest.fixture(scope="module")
+def shell(tmp_path_factory, flagship_config):
+    from mmwave_radar_processing_tpu.data import PointTarget, Scene, simulate_frame
+    from mmwave_radar_processing_tpu.data.cpsl_dataset import (
+        make_odom_rows,
+        write_dataset,
+    )
+    from mmwave_radar_processing_tpu.visualization import (
+        MmWaveRadarProcessorController,
+        get_default_registry,
+    )
+    from mmwave_radar_processing_tpu.visualization.shell_logic import ShellLogic
+
+    root = tmp_path_factory.mktemp("guids")
+    rng = np.random.default_rng(0)
+    frames, odom = [], []
+    for i in range(3):
+        scene = Scene(targets=[PointTarget(range_m=1.0, rcs=4.0)],
+                      noise_sigma=0.04)
+        frames.append(simulate_frame(flagship_config, scene, rng))
+        odom.append(make_odom_rows(np.array([0.2, 0.0, 0.0])))
+    write_dataset(str(root / "rec"), np.stack(frames), odom=np.stack(odom))
+
+    registry = get_default_registry()
+    keep = {"range_doppler_resp", "range_resp", "micro_doppler_resp"}
+    for k in registry:
+        registry[k].enabled = k in keep
+    ctl = MmWaveRadarProcessorController(registry=registry)
+    ctl.load_dataset(str(root / "rec"))
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "6843_RadVel_ods_20Hz.cfg")
+    logic = ShellLogic(
+        ctl, num_cells=4,
+        initial_keys=["range_doppler_resp", "range_resp", None, None],
+    )
+    logic.browse_config(cfg_path, "ods", "down")
+    return logic, str(root)
+
+
+def test_panel_hidden_view_caching(shell):
+    """Payloads for unselected views are cached, not rendered; selecting the
+    view later renders the cached payload immediately (ref panel :196-216)."""
+    logic, _ = shell
+    rendered = []
+    for cell in range(4):
+        key = logic.panel.assignments[cell]
+        if key is not None:
+            view_cls = logic.view_class_for(key)
+            logic.bind_cell_view(cell, view_cls(ax=plt.subplots()[1]))
+    logic.set_render_callback(rendered.append)
+
+    payload = {"data": np.random.default_rng(0).random((10, 12)) + 0.1,
+               "vel_bins": np.arange(12), "time_bins": np.arange(10)}
+    cells = logic.on_view_update("micro_doppler_resp", payload)
+    assert cells == []  # hidden -> cached only
+    assert logic.panel.latest_payloads["micro_doppler_resp"] is payload
+    assert rendered == []
+
+    # reveal in cell 2: cached payload renders right away
+    view = logic.view_class_for("micro_doppler_resp")(ax=plt.subplots()[1])
+    logic.bind_cell_view(2, view)
+    logic.select_view(2, "micro_doppler_resp")
+    assert view.latest_payload is payload
+    assert rendered == [2]
+
+
+def test_panel_uniqueness(shell):
+    """A view key may occupy at most one cell (ref panel :143-194)."""
+    logic, _ = shell
+    logic.select_view(0, "range_doppler_resp")
+    changed = logic.select_view(3, "range_doppler_resp")
+    assert logic.panel.assignments[3] == "range_doppler_resp"
+    assert logic.panel.assignments[0] is None
+    assert set(changed) == {0, 3}
+
+
+def test_frame_fanout_renders_selected_cells(shell):
+    logic, _ = shell
+    logic.select_view(0, "range_doppler_resp")
+    view = logic.view_class_for("range_doppler_resp")(ax=plt.subplots()[1])
+    logic.bind_cell_view(0, view)
+    logic.controller.process_next_frame(0)
+    assert view.latest_payload is not None
+    assert view.ax.images  # heatmap rendered
+
+
+def test_browse_actions(shell, tmp_path):
+    """Dataset/config/params browse handlers (ref control_panel :110-142)."""
+    logic, root = shell
+    n = logic.browse_dataset(os.path.join(root, "rec"))
+    assert n == 3
+    params = {"processors": {"range_doppler_resp": {"rx_idx": 0}}}
+    p = tmp_path / "pp.yaml"
+    p.write_text(yaml.safe_dump(params))
+    logic.browse_processor_params(str(p))
+    assert logic.controller.processor_params["range_doppler_resp"] == {"rx_idx": 0}
+    assert "range_doppler_resp" in logic.controller.processors
+
+
+# --- real Qt window (only where PyQt6 exists; not shipped here) ------------- #
+def test_qt_main_window_offscreen(shell):
+    pytest.importorskip("PyQt6")
+    os.environ.setdefault("QT_QPA_PLATFORM", "offscreen")
+    from PyQt6.QtWidgets import QApplication
+
+    from mmwave_radar_processing_tpu.visualization.qt_shell import (
+        build_main_window,
+    )
+
+    logic, _ = shell
+    app = QApplication.instance() or QApplication([])
+    win = build_main_window(logic.controller,
+                            view_keys=["range_doppler_resp", "range_resp"])
+    assert len(win.cell_combos) == 4
+    # combobox-driven selection flows through ShellLogic
+    combo = win.cell_combos[2]
+    combo.setCurrentIndex(combo.findData("micro_doppler_resp"))
+    assert win.logic.panel.assignments[2] == "micro_doppler_resp"
+    win.close()
+    del app
