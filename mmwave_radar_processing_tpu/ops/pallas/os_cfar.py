@@ -111,8 +111,18 @@ def _detect_kernel(x_ref, out_ref, *, guard_box, win_r, win_d, r_out, d_out,
         count = jax.lax.fori_loop(0, win_r, body, count)
 
     det = jnp.where(count >= k, 1.0, 0.0)
-    out = jnp.zeros((rows, cols), jnp.float32)  # edge convention: no detection
-    out_ref[0] = out.at[edge_r : edge_r + r_out, edge_d : edge_d + d_out].set(det)
+    # edge convention: no detection within train+guard of the borders.
+    # Pad via concatenation (a scatter/.at[].set does not lower on TPU).
+    padded = jnp.concatenate([
+        jnp.zeros((edge_r, d_out), jnp.float32),
+        det,
+        jnp.zeros((rows - edge_r - r_out, d_out), jnp.float32),
+    ], axis=0)
+    out_ref[0] = jnp.concatenate([
+        jnp.zeros((rows, edge_d), jnp.float32),
+        padded,
+        jnp.zeros((rows, cols - edge_d - d_out), jnp.float32),
+    ], axis=1)
 
 
 @partial(jax.jit, static_argnames=("num_train", "num_guard", "rho", "alpha",
