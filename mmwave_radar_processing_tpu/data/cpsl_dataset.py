@@ -34,6 +34,7 @@ class CpslDS:
         self,
         dataset_path: str,
         radar_adc_folder: str = "radar_0_adc",
+        radar_pc_folder: str = "",
         lidar_folder: str = "lidar",
         camera_folder: str = "camera",
         hand_tracking_folder: str = "hand_tracking",
@@ -47,6 +48,7 @@ class CpslDS:
         self._files = {}
         for key, folder in [
             ("radar_adc", radar_adc_folder),
+            ("radar_pc", radar_pc_folder),
             ("lidar", lidar_folder),
             ("camera", camera_folder),
             ("hand_tracking", hand_tracking_folder),
@@ -58,6 +60,7 @@ class CpslDS:
             self._files[key] = self._list(folder)
 
         self.radar_enabled = bool(self._files["radar_adc"])
+        self.radar_pc_enabled = bool(self._files["radar_pc"])
         self.lidar_enabled = bool(self._files["lidar"])
         self.camera_enabled = bool(self._files["camera"])
         self.hand_tracking_enabled = bool(self._files["hand_tracking"])
@@ -65,7 +68,9 @@ class CpslDS:
         self.imu_full_enabled = bool(self._files["imu_full"])
         self.vehicle_vel_enabled = bool(self._files["vehicle_vel"])
         self.vehicle_odom_enabled = bool(self._files["vehicle_odom"])
-        self.num_frames = len(self._files["radar_adc"])
+        self.num_frames = len(self._files["radar_adc"]) or len(
+            self._files["radar_pc"]
+        )
 
     def _list(self, folder: str) -> List[str]:
         if not folder:
@@ -84,6 +89,16 @@ class CpslDS:
         """Complex ADC cube ``[rx, sample, chirp]`` for frame ``idx``."""
         return np.load(self._files["radar_adc"][idx])
 
+    def get_radar_point_cloud(self, idx: int) -> np.ndarray:
+        """Pre-generated radar point cloud ``(N, >=4)`` for frame ``idx``.
+
+        The reference reads recorded point clouds through a ``radar_pc_folder``
+        (call site: ``notebooks/hermes_testing_vel_estimation_outward_points
+        .ipynb``, ``radar_pc_folder="front_radar_pc"``).
+        """
+        assert self.radar_pc_enabled, "radar point clouds not in dataset"
+        return np.load(self._files["radar_pc"][idx])
+
     def get_vehicle_odom_data(self, idx: int) -> np.ndarray:
         """Odometry rows ``(M, >=11)``; columns 8:11 are vx,vy,vz ground truth."""
         return np.load(self._files["vehicle_odom"][idx])
@@ -97,7 +112,9 @@ class CpslDS:
         ``plotting/movies_odometry.py:54,84``,
         ``notebooks/view_radar_data_hand_tracking.ipynb``).
         """
-        return self.get_radar_adc_data(idx)
+        if self.radar_enabled:
+            return self.get_radar_adc_data(idx)
+        return self.get_radar_point_cloud(idx)
 
     def get_vehicle_vel_data(self, idx: int) -> np.ndarray:
         return np.load(self._files["vehicle_vel"][idx])
@@ -139,13 +156,15 @@ def _write_frames(dataset_path: str, folder: str, frames) -> None:
 
 def write_dataset(
     dataset_path: str,
-    adc_frames: np.ndarray,
+    adc_frames: Optional[np.ndarray] = None,
     odom: Optional[np.ndarray] = None,
     vel: Optional[np.ndarray] = None,
     hand_tracking: Optional[np.ndarray] = None,
     imu_orientation: Optional[np.ndarray] = None,
     imu_full: Optional[np.ndarray] = None,
+    radar_pc: Optional[list] = None,
     radar_adc_folder: str = "radar_0_adc",
+    radar_pc_folder: str = "radar_0_pc",
     vehicle_odom_folder: str = "vehicle_odom",
     vehicle_vel_folder: str = "vehicle_vel",
     hand_tracking_folder: str = "hand_tracking",
@@ -161,8 +180,12 @@ def write_dataset(
         hand_tracking: optional ``[frames, J, 3]`` hand-joint positions.
         imu_orientation: optional ``[frames, 4]`` orientation quaternions.
         imu_full: optional ``[frames, 6]`` gyro+accel rows.
+        radar_pc: optional list of per-frame ``(N, >=4)`` point clouds.
     """
-    _write_frames(dataset_path, radar_adc_folder, adc_frames)
+    if adc_frames is not None:
+        _write_frames(dataset_path, radar_adc_folder, adc_frames)
+    if radar_pc is not None:
+        _write_frames(dataset_path, radar_pc_folder, radar_pc)
     for data, folder in [
         (odom, vehicle_odom_folder),
         (vel, vehicle_vel_folder),

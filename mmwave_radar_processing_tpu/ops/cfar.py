@@ -317,11 +317,14 @@ def os_2d_detect(
 
     Accepts leading batch dims: ``[..., R, D] -> [..., R, D]`` bool.
 
-    ``method="pallas"`` (the TPU default) runs the fully fused VMEM-resident
-    counting kernel: the XLA slice formulation below reads a shifted copy of
-    the map per training offset (~255x HBM expansion on the flagship window),
-    which the ``bench.py`` roofline showed to be the fused pipeline's dominant
-    HBM consumer; the kernel reads the map once and writes only the mask.
+    ``method="pallas"`` runs the fused VMEM-resident counting kernel
+    (``ops/pallas/os_cfar.py``): the XLA slice formulation below reads a
+    shifted copy of the map per training offset (~255x HBM expansion on the
+    flagship window), while the kernel reads the map once and writes only the
+    mask.  Measured on the real chip, however, the one-map-per-grid-step
+    kernel serializes the batch and underfills the VPU lanes (63x70 maps),
+    costing 2.2x end-to-end on the north-star pipeline (12.6k vs 28.1k
+    frames/s) — so ``method="auto"`` resolves to the XLA path everywhere.
     Both are bit-identical (tests/test_ops.py).
     """
     assert alpha > 0.0
@@ -331,7 +334,7 @@ def os_2d_detect(
     if x.shape[-2] < win_r or x.shape[-1] < win_d:
         return jnp.zeros(x.shape, bool)
     if method == "auto":
-        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+        method = "xla"
     if method == "pallas":
         from mmwave_radar_processing_tpu.ops.pallas.os_cfar import (
             os_cfar_2d_detect_fused,

@@ -85,26 +85,31 @@ def _fused_kernel(x_ref, out_ref, train_scratch, *, offsets, guard_box,
 
 
 def _detect_kernel(x_ref, out_ref, *, guard_box, win_r, win_d, r_out, d_out,
-                   edge_r, edge_d, k, alpha, rows, cols):
-    """Counting OS-CFAR detection, map resident in VMEM.
+                   edge_r, edge_d, k, alpha, rows, cols, nb):
+    """Counting OS-CFAR detection, batched lane-major: block is ``(R, D, NB)``.
 
     ``x > alpha * rank_k(train)  <=>  #{t : alpha*t < x} >= k`` (see
     ``ops/cfar.py`` detection-only section) — so detection needs no rank
-    selection at all: one compare+add per training offset.  ``j`` (lane axis)
-    offsets are unrolled statically, ``i`` (sublane axis) runs in a
-    ``fori_loop`` with a dynamic-start slice, mirroring the loop-built window
-    pattern of the noise kernel above.  Guard+CUT offsets contribute zero.
+    selection at all: one compare+add per training offset.
+
+    Layout is the whole trick.  A one-map-per-grid-step kernel serializes the
+    batch and fills at most 70 of 128 VPU lanes with a 63x70 map (measured
+    2.2x *slower* end-to-end than the XLA shifted-slice formulation despite
+    ~190x less HBM traffic).  Putting the *batch* on the lane axis instead
+    keeps all 128 lanes busy, and both window shifts land on the untiled row
+    axis (``i``, dynamic ``pl.ds``) and the sublane column axis (``j``,
+    static, unrolled) — no lane-crossing relayouts anywhere.
     """
     gr0, gr1, gd0, gd1 = guard_box
-    center = x_ref[0, edge_r : edge_r + r_out, edge_d : edge_d + d_out]
-    count = jnp.zeros((r_out, d_out), jnp.float32)
+    center = x_ref[edge_r : edge_r + r_out, edge_d : edge_d + d_out, :]
+    count = jnp.zeros((r_out, d_out, nb), jnp.float32)
 
     for j in range(win_d):
         def body(i, cnt, j=j):
             is_guard = (
                 (i >= gr0) & (i <= gr1) & jnp.asarray((j >= gd0) and (j <= gd1))
             )
-            slab = x_ref[0, pl.ds(i, r_out), j : j + d_out]
+            slab = x_ref[pl.ds(i, r_out), j : j + d_out, :]
             hit = jnp.where(alpha * slab < center, 1.0, 0.0)
             return cnt + jnp.where(is_guard, 0.0, hit)
 
@@ -114,14 +119,14 @@ def _detect_kernel(x_ref, out_ref, *, guard_box, win_r, win_d, r_out, d_out,
     # edge convention: no detection within train+guard of the borders.
     # Pad via concatenation (a scatter/.at[].set does not lower on TPU).
     padded = jnp.concatenate([
-        jnp.zeros((edge_r, d_out), jnp.float32),
+        jnp.zeros((edge_r, d_out, nb), jnp.float32),
         det,
-        jnp.zeros((rows - edge_r - r_out, d_out), jnp.float32),
+        jnp.zeros((rows - edge_r - r_out, d_out, nb), jnp.float32),
     ], axis=0)
-    out_ref[0] = jnp.concatenate([
-        jnp.zeros((rows, edge_d), jnp.float32),
+    out_ref[...] = jnp.concatenate([
+        jnp.zeros((rows, edge_d, nb), jnp.float32),
         padded,
-        jnp.zeros((rows, cols - edge_d - d_out), jnp.float32),
+        jnp.zeros((rows, cols - edge_d - d_out, nb), jnp.float32),
     ], axis=1)
 
 
@@ -136,14 +141,16 @@ def os_cfar_2d_detect_fused(
     alpha: float,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fully fused counting OS-CFAR 2D detection mask.
+    """Fully fused counting OS-CFAR 2D detection mask (batched, lane-major).
 
-    HBM traffic per frame: one map read + one mask write (~35 KB) — the XLA
+    HBM traffic: one map read + one mask write per frame (~35 KB) — the XLA
     counting formulation (``ops/cfar.os_2d_detect``) reads a shifted copy of
-    the map per training offset (~255x expansion, ~4.5 MB/frame on the
-    flagship cube), which made CFAR the dominant HBM consumer of the fused
-    point-cloud pipeline (46% HBM utilization, bandwidth-bound per
-    ``bench.py`` roofline).
+    the map per training offset (~187x expansion, ~2.1 MB/frame on the
+    flagship window), which made CFAR the dominant HBM consumer of the fused
+    point-cloud pipeline (bandwidth-bound per ``bench.py`` roofline).  The
+    batch is transposed to the 128-wide lane axis so every VPU lane carries a
+    different frame; the two transposes cost two map-sized HBM round trips,
+    still ~90x less traffic than the slice expansion.
 
     Args:
         x: ``[R, D]`` or ``[..., R, D]`` magnitude map(s).
@@ -169,6 +176,12 @@ def os_cfar_2d_detect_fused(
     guard_box = (num_train[0], num_train[0] + 2 * num_guard[0],
                  num_train[1], num_train[1] + 2 * num_guard[1])
 
+    nb = 128  # lane-axis batch block
+    b_pad = -(-b // nb) * nb
+    xt = jnp.transpose(x.astype(jnp.float32), (1, 2, 0))  # (R, D, B)
+    if b_pad != b:
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, b_pad - b)))
+
     out = pl.pallas_call(
         partial(
             _detect_kernel,
@@ -183,18 +196,19 @@ def os_cfar_2d_detect_fused(
             alpha=float(alpha),
             rows=rows,
             cols=cols,
+            nb=nb,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, rows, cols), jnp.float32),
-        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((rows, cols, b_pad), jnp.float32),
+        grid=(b_pad // nb,),
         in_specs=[
-            pl.BlockSpec((1, rows, cols), lambda i: (i, 0, 0),
+            pl.BlockSpec((rows, cols, nb), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((1, rows, cols), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((rows, cols, nb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x.astype(jnp.float32))
-    det = out > 0.5
+    )(xt)
+    det = jnp.transpose(out[..., :b] > 0.5, (2, 0, 1))
     det = det.reshape(lead + (rows, cols))
     return det[0] if squeeze else det
 

@@ -14,9 +14,9 @@ import shutil
 import tempfile
 from typing import Optional
 
-import matplotlib
-
-matplotlib.use("Agg")
+# NB: no ``matplotlib.use("Agg")`` here — forcing a backend at import time
+# hijacks the notebook inline backend for every consumer of the plotting
+# package (headless environments already default to Agg).
 import matplotlib.pyplot as plt
 import numpy as np
 

@@ -108,6 +108,27 @@ def test_dataset_aux_modalities(tmp_path):
     np.testing.assert_array_equal(ds.get_radar_data(1), ds.get_radar_adc_data(1))
 
 
+def test_dataset_radar_point_clouds(tmp_path):
+    """radar_pc_folder round-trip: pc-only datasets drive the points path.
+
+    Reference call site: ``notebooks/hermes_testing_vel_estimation_outward_
+    points.ipynb`` (``radar_pc_folder="front_radar_pc"`` +
+    ``get_radar_point_cloud``).
+    """
+    from mmwave_radar_processing_tpu.data.cpsl_dataset import CpslDS, write_dataset
+
+    rng = np.random.default_rng(3)
+    pcs = [rng.normal(size=(n, 4)) for n in (12, 7, 20)]
+    write_dataset(str(tmp_path), radar_pc=pcs,
+                  radar_pc_folder="front_radar_pc")
+    ds = CpslDS(str(tmp_path), radar_pc_folder="front_radar_pc")
+    assert ds.radar_pc_enabled and not ds.radar_enabled
+    assert ds.num_frames == 3
+    np.testing.assert_array_equal(ds.get_radar_point_cloud(1), pcs[1])
+    # get_radar_data falls through to the point cloud when no ADC exists
+    np.testing.assert_array_equal(ds.get_radar_data(2), pcs[2])
+
+
 def test_dbs_demo_script(tmp_path):
     out = str(tmp_path / "dbs.png")
     r = _run(["scripts/doppler_beam_sharpening_demo.py", "--out", out])
