@@ -284,6 +284,10 @@ def _roofline_fields(fn, bench_args, args, cfg, frames_per_s) -> dict:
     peak_gbs = args.peak_gbs or roofline.DEFAULT_PEAK_HBM_GBS
     tflops = frames_per_s * flops_per_frame / 1e12
     gbs = frames_per_s * bytes_per_frame / 1e9
+    # NB: cost-analysis "bytes accessed" counts every operand touch, so slices
+    # that XLA fusion serves from VMEM/registers are billed as HBM traffic —
+    # an *upper bound*.  hbm_util > 1 therefore means heavy on-chip reuse
+    # (measured on the CFAR shifted-slice stack), not a physics violation.
     return {
         "flops_per_frame": round(flops_per_frame),
         "bytes_per_frame": round(bytes_per_frame),

@@ -64,8 +64,13 @@ def build_full_pipeline(
 
     vel_fn_single = build_velocity_pipeline(cfg, **(velocity_kwargs or {}))
 
-    def aoa(rd: mxu.C2, idxs, r_i, v_i, factors):
-        snap = mxu.C2(rd.re[idxs][:, r_i, v_i].T, rd.im[idxs][:, r_i, v_i].T)
+    union_idx = np.unique(np.concatenate([az_idx, el_idx])) if (
+        az_idx.size or el_idx.size) else np.zeros(0, int)
+    az_pos = np.searchsorted(union_idx, az_idx)
+    el_pos = np.searchsorted(union_idx, el_idx)
+
+    def aoa(vals: mxu.C2, pos, factors):
+        snap = mxu.C2(vals.re[pos].T, vals.im[pos].T)
         spec = mxu.dft_apply(snap, factors, axis=-1)
         return angle_bins[jnp.argmax(mxu.cabs2(spec), axis=1)]
 
@@ -74,16 +79,23 @@ def build_full_pipeline(
             reformat(raw_re, num_rx=num_rx, cfgs_per_loop=cpl),
             reformat(raw_im, num_rx=num_rx, cfgs_per_loop=cpl),
         )
-        rd = mxu.range_doppler_map_mxu(cube, rng_factors, dop_factors)
-        mag = mxu.cabs(mxu.C2(rd.re[0], rd.im[0]))
+        # CFAR on antenna 0 only; per-detection values as bilinear DFT forms
+        # (mxu.rd_values_at) — no multi-channel RD materialization
+        rd0 = mxu.range_doppler_map_mxu(
+            mxu.C2(cube.re[0], cube.im[0]), rng_factors, dop_factors
+        )
+        mag = mxu.cabs(rd0)
         det = cfar_ops.os_2d_detect(mag, **cfar_params)
         r_i, v_i, valid, count = masked.mask_to_indices_2d(det, max_dets)
+        if union_idx.size:
+            sub = mxu.C2(cube.re[union_idx], cube.im[union_idx])
+            vals = mxu.rd_values_at(sub, rng_factors, dop_factors, r_i, v_i)
         az = (
-            aoa(rd, az_idx, r_i, v_i, az_factors)
+            aoa(vals, az_pos, az_factors)
             if az_idx.size else jnp.zeros(r_i.shape, jnp.float32)
         )
         el = (
-            aoa(rd, el_idx, r_i, v_i, el_factors)
+            aoa(vals, el_pos, el_factors)
             if el_idx.size else jnp.zeros(r_i.shape, jnp.float32)
         )
         ranges = r_i.astype(jnp.float32) * range_res

@@ -63,6 +63,10 @@ def build_ground_point_cloud_pipeline(
     num_rx, cpl = cfg.num_rx_antennas, cfg.chirp_cfgs_per_loop
     az_idx = np.asarray(az_antenna_idxs, int)
     el_idx = np.asarray(el_antenna_idxs, int)
+    union_idx = np.unique(np.concatenate([az_idx, el_idx])) if (
+        az_idx.size or el_idx.size) else np.zeros(0, int)
+    az_pos = np.searchsorted(union_idx, az_idx)
+    el_pos = np.searchsorted(union_idx, el_idx)
     angle_bins = jnp.asarray(grids.angle_bins(num_angle_bins))
     plain_bins = jnp.asarray(grids.range_bins(cfg, variant="plain"))
     eps_bins = jnp.asarray(grids.range_bins(cfg, variant="eps"))
@@ -135,8 +139,12 @@ def build_ground_point_cloud_pipeline(
         new_alt = altimeter_step(current_alt, cube)
         corrected = new_alt + range_bias
 
-        rd = mxu.range_doppler_map_mxu(cube, rng_factors, dop_factors)
-        mag = mxu.cabs(mxu.C2(rd.re[0], rd.im[0]))
+        # CFAR on antenna 0 only; per-detection values as bilinear DFT forms
+        # (mxu.rd_values_at) — no multi-channel RD materialization
+        rd0 = mxu.range_doppler_map_mxu(
+            mxu.C2(cube.re[0], cube.im[0]), rng_factors, dop_factors
+        )
+        mag = mxu.cabs(rd0)
 
         # altitude range gate (reference :89-103, nearest-bin inclusive)
         min_idx = jnp.argmin(jnp.abs(eps_bins - corrected))
@@ -156,15 +164,19 @@ def build_ground_point_cloud_pipeline(
         det_mask = row_gate[:, None] & vel_det
         r_i, v_i, valid, count = masked.mask_to_indices_2d(det_mask, max_dets)
 
-        def aoa(idxs, factors):
-            snap = mxu.C2(rd.re[idxs][:, r_i, v_i].T, rd.im[idxs][:, r_i, v_i].T)
+        if union_idx.size:
+            sub = mxu.C2(cube.re[union_idx], cube.im[union_idx])
+            vals = mxu.rd_values_at(sub, rng_factors, dop_factors, r_i, v_i)
+
+        def aoa(pos, factors):
+            snap = mxu.C2(vals.re[pos].T, vals.im[pos].T)
             spec = mxu.dft_apply(snap, factors, axis=-1)
             return angle_bins[jnp.argmax(mxu.cabs2(spec), axis=1)]
 
-        az = aoa(az_idx, az_factors) if az_idx.size else jnp.zeros(
+        az = aoa(az_pos, az_factors) if az_idx.size else jnp.zeros(
             r_i.shape, jnp.float32
         )
-        el = aoa(el_idx, el_factors) if el_idx.size else jnp.zeros(
+        el = aoa(el_pos, el_factors) if el_idx.size else jnp.zeros(
             r_i.shape, jnp.float32
         )
         ranges = r_i.astype(jnp.float32) * range_res

@@ -160,8 +160,16 @@ def _build_pipeline_mxu(
     range_res = cfg.range_res_m
     vel0, vel_res = -cfg.vel_max_m_s, cfg.vel_res_m_s
 
-    def aoa(rd: mxu.C2, idxs, r_i, v_i, factors):
-        snap = mxu.C2(rd.re[idxs][:, r_i, v_i].T, rd.im[idxs][:, r_i, v_i].T)
+    # union of antenna subsets: per-detection RD values are evaluated once for
+    # these rows (bilinear DFT forms, ops/mxu.rd_values_at), then each
+    # subset's AoA FFT reads its positions out of the union
+    union_idx = np.unique(np.concatenate([az_idx, el_idx])) if (
+        az_idx.size or el_idx.size) else np.zeros(0, int)
+    az_pos = np.searchsorted(union_idx, az_idx)
+    el_pos = np.searchsorted(union_idx, el_idx)
+
+    def aoa(vals: mxu.C2, pos, factors):
+        snap = mxu.C2(vals.re[pos].T, vals.im[pos].T)  # (K, A)
         spec = mxu.dft_apply(snap, factors, axis=-1)
         return angle_bins[jnp.argmax(mxu.cabs2(spec), axis=1)]
 
@@ -173,19 +181,28 @@ def _build_pipeline_mxu(
             )
         else:
             cube = mxu.C2(raw_re, raw_im)
-        rd = mxu.range_doppler_map_mxu(cube, rng_factors, dop_factors)
-        mag = mxu.cabs(mxu.C2(rd.re[0], rd.im[0]))
+        # CFAR detects on antenna 0's magnitude map only; the other channels'
+        # RD responses are never materialized — per-detection values come
+        # from bilinear DFT forms instead (stage bisection on the real chip
+        # put the materialize+gather AoA at ~24 ms of a 37 ms dispatch)
+        rd0 = mxu.range_doppler_map_mxu(
+            mxu.C2(cube.re[0], cube.im[0]), rng_factors, dop_factors
+        )
+        mag = mxu.cabs(rd0)
         # detection-only counting CFAR: bit-exact vs the threshold path,
         # no rank selection on the hot path (ops/cfar.py os_2d_detect)
         det = cfar_ops.os_2d_detect(mag, **cfar_params)
         r_i, v_i, valid, count = masked.mask_to_indices_2d(det, max_dets)
+        if union_idx.size:
+            sub = mxu.C2(cube.re[union_idx], cube.im[union_idx])
+            vals = mxu.rd_values_at(sub, rng_factors, dop_factors, r_i, v_i)
         az = (
-            aoa(rd, az_idx, r_i, v_i, az_factors)
+            aoa(vals, az_pos, az_factors)
             if az_idx.size
             else jnp.zeros(r_i.shape, jnp.float32)
         )
         el = (
-            aoa(rd, el_idx, r_i, v_i, el_factors)
+            aoa(vals, el_pos, el_factors)
             if el_idx.size
             else jnp.zeros(r_i.shape, jnp.float32)
         )

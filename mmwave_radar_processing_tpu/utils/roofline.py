@@ -135,4 +135,8 @@ def classify_bound(
     hbm = gbs / peak_gbs
     if max(mfu, hbm) < 0.10:
         return "dispatch"
+    if hbm > 1.0 >= mfu:
+        # nominal bytes exceed physical bandwidth: the byte count bills
+        # fusion-reused operands (e.g. CFAR's shifted slices) as HBM traffic
+        return "bandwidth (nominal bytes; on-chip reuse)"
     return "compute" if mfu >= hbm else "bandwidth"

@@ -52,6 +52,24 @@ def test_zoom_dft_matches_scipy(rng):
     np.testing.assert_allclose(mxu.to_complex(out), ref, rtol=2e-3, atol=2e-3)
 
 
+def test_rd_values_at_matches_full_map(rng):
+    """Bilinear per-cell evaluation == gathering from the full RD cube."""
+    cube = (
+        rng.standard_normal((8, 63, 70)) + 1j * rng.standard_normal((8, 63, 70))
+    ).astype(np.complex64)
+    factors = mxu.range_doppler_factors(63, 70)
+    full = mxu.range_doppler_map_mxu(mxu.from_complex(cube), *factors)
+    r_idx = np.array([0, 5, 17, 33, 62, 62, 8, 0])
+    v_idx = np.array([0, 69, 12, 41, 69, 0, 33, 7])
+    vals = mxu.rd_values_at(
+        mxu.from_complex(cube), *factors, jnp.asarray(r_idx), jnp.asarray(v_idx)
+    )
+    ref = mxu.to_complex(full)[:, r_idx, v_idx]
+    got = mxu.to_complex(vals)
+    np.testing.assert_allclose(got, ref, rtol=1e-4,
+                               atol=1e-4 * np.abs(ref).max())
+
+
 def test_range_doppler_mxu_matches_reference_kernel(flagship_config, rng):
     from mmwave_radar_processing_tpu.processors.range_doppler import range_doppler_map
 
