@@ -44,6 +44,27 @@ class BaseCFAR1D(_BaseCFAR):
         self.detections = np.asarray(x > self.thresholds)
         return np.flatnonzero(self.detections).tolist()
 
+    def plot_detections(self, x, ax=None):
+        """Debug plot: signal, threshold, noise estimate, detection markers
+        (reference ``detectors/base.py:67-113``).  Runs :meth:`detect` if the
+        caches are empty."""
+        import matplotlib.pyplot as plt
+
+        x = np.asarray(x)
+        if self.thresholds is None:
+            self.detect(x)
+        if ax is None:
+            _, ax = plt.subplots(figsize=(8, 3.5))
+        ax.plot(x, label="signal")
+        thr = np.asarray(self.thresholds)
+        ax.plot(np.where(np.isfinite(thr), thr, np.nan), "--",
+                label="threshold")
+        ax.plot(np.asarray(self.noise_estimates), ":", label="noise est")
+        det = np.flatnonzero(np.asarray(self.detections))
+        ax.plot(det, x[det], "rv", label="detections")
+        ax.set_xlabel("cell"); ax.legend(fontsize=8)
+        return ax
+
     compute_alpha_ca = staticmethod(cfar_ops.alpha_ca)
 
 
@@ -66,6 +87,25 @@ class BaseCFAR2D(_BaseCFAR):
         self.detections = np.asarray(x > self.thresholds)
         rows, cols = np.where(self.detections)
         return list(zip(rows.tolist(), cols.tolist()))
+
+    def plot_detections(self, x, ax=None):
+        """Debug plot: magnitude heatmap + detection scatter (reference
+        ``detectors/base.py`` 2D debug helper)."""
+        import matplotlib.pyplot as plt
+
+        x = np.asarray(x)
+        if self.thresholds is None:
+            self.detect(x)
+        if ax is None:
+            _, ax = plt.subplots(figsize=(6, 4))
+        im = ax.imshow(20 * np.log10(np.abs(x) + 1e-12), aspect="auto",
+                       origin="lower")
+        rows, cols = np.where(np.asarray(self.detections))
+        ax.scatter(cols, rows, s=12, facecolors="none", edgecolors="r",
+                   label="detections")
+        ax.set_xlabel("col"); ax.set_ylabel("row"); ax.legend(fontsize=8)
+        plt.colorbar(im, ax=ax)
+        return ax
 
     compute_alpha_ca = staticmethod(cfar_ops.alpha_ca)
 

@@ -239,6 +239,31 @@ def test_cfar_detects_planted_target(rng):
     assert (20, 30) in set(zip(r.tolist(), c.tolist()))
 
 
+def test_cfar_plot_detections_debug_helpers(rng):
+    """plot_detections renders for 1D and 2D detectors (ref base.py:67-113)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from mmwave_radar_processing_tpu.detectors import get_detector_registry
+
+    reg = get_detector_registry()
+    noise = rng.exponential(1.0, 120)
+    noise[50] += 30.0
+    d1 = reg["os_cfar_1d"](num_train=8, num_guard=2, rho=0.75, alpha=6.0)
+    assert 50 in d1.detect(noise)
+    ax = d1.plot_detections(noise)
+    assert len(ax.lines) >= 4
+    plt.close(ax.figure)
+
+    x2 = rng.exponential(1.0, (64, 64))
+    x2[20, 30] += 40.0
+    d2 = reg["os_cfar_2d"](num_train=(5, 5), num_guard=(3, 2), rho=0.7, alpha=4.0)
+    assert (20, 30) in d2.detect(x2)
+    ax2 = d2.plot_detections(x2)
+    assert ax2.collections  # detection scatter present
+    plt.close(ax2.figure)
+
+
 # --------------------------------------------------------------------------- #
 # RANSAC
 # --------------------------------------------------------------------------- #
