@@ -235,8 +235,12 @@ def run_scaling(args) -> None:
     from mmwave_radar_processing_tpu.parallel.scaling import measure_scaling
 
     cfg = _flagship_config()
+    # modest sizes: this is a structural/overhead proxy on shared-core
+    # virtual devices — the combined pipeline runs ~100 frames/s/core on CPU,
+    # so inheriting the TPU batch/iters would take tens of minutes
     table = measure_scaling(
-        cfg, per_device_batch=max(1, args.batch // 16), iters=args.iters
+        cfg, per_device_batch=max(1, min(args.batch, 512) // 16),
+        iters=min(args.iters, 3),
     )
     eff = table["combined"]["efficiency"][-1]
     n_max = table["combined"]["devices"][-1]
