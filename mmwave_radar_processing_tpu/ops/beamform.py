@@ -181,6 +181,53 @@ def _real_embed(r: C2) -> jax.Array:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def _unrolled_cho_solve(m2: jax.Array, b_full: jax.Array) -> jax.Array:
+    """Batched SPD solve with a fully unrolled Cholesky (small static n).
+
+    ``jnp.linalg.cholesky`` + ``cho_solve`` on TPU lower small batched
+    factorizations to sequential loops that dominate the Capon pipeline
+    (measured 6x slower than Bartlett end-to-end at n=8).  For the radar's
+    aperture sizes (n = 2A <= 24) the factorization unrolls into O(n^2)
+    *elementwise* recurrences over the [batch] axis — pure VPU code that XLA
+    fuses — followed by unrolled forward/back substitution on the
+    ``[..., n, M]`` RHS.
+
+    Args:
+        m2: ``[..., n, n]`` SPD matrices.
+        b_full: ``[..., n, M]`` right-hand sides.
+
+    Returns:
+        ``[..., n, M]`` solutions ``m2^{-1} b``.
+    """
+    n = m2.shape[-1]
+    tiny = jnp.finfo(jnp.float32).tiny
+    l = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = m2[..., j, j]
+        for k in range(j):
+            s = s - l[j][k] * l[j][k]
+        d = jnp.sqrt(jnp.maximum(s, tiny))
+        l[j][j] = d
+        for i in range(j + 1, n):
+            s = m2[..., i, j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            l[i][j] = s / d
+    y = [None] * n
+    for i in range(n):
+        s = b_full[..., i, :]
+        for k in range(i):
+            s = s - l[i][k][..., None] * y[k]
+        y[i] = s / l[i][i][..., None]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l[k][i][..., None] * x[k]
+        x[i] = s / l[i][i][..., None]
+    return jnp.stack(x, axis=-2)
+
+
 @partial(jax.jit, static_argnames=())
 def capon_from_covariance(
     r: C2, steering: C2, *, loading: float = 1e-3
@@ -202,9 +249,12 @@ def capon_from_covariance(
     r = diagonal_load(r, loading)
     m2 = _real_embed(r)  # [..., 2A, 2A]
     b = jnp.concatenate([steering.re, steering.im], axis=0)  # (2A, M)
-    chol = jnp.linalg.cholesky(m2)
     b_full = jnp.broadcast_to(b, m2.shape[:-2] + b.shape)
-    y = jax.scipy.linalg.cho_solve((chol, True), b_full)
+    if m2.shape[-1] <= 24:
+        y = _unrolled_cho_solve(m2, b_full)
+    else:
+        chol = jnp.linalg.cholesky(m2)
+        y = jax.scipy.linalg.cho_solve((chol, True), b_full)
     denom = jnp.sum(b * y, axis=-2)
     return 1.0 / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
 

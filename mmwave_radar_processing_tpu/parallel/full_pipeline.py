@@ -25,7 +25,9 @@ from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
 from mmwave_radar_processing_tpu.processors.point_cloud import (
     spherical_to_cartesian_flu,
 )
-from mmwave_radar_processing_tpu.processors.virtual_array import reformat
+from mmwave_radar_processing_tpu.processors.virtual_array import (
+    reformat_channels,
+)
 
 
 def build_full_pipeline(
@@ -74,21 +76,27 @@ def build_full_pipeline(
         spec = mxu.dft_apply(snap, factors, axis=-1)
         return angle_bins[jnp.argmax(mxu.cabs2(spec), axis=1)]
 
+    needed = (0,) + tuple(int(v) for v in union_idx)
+
     def point_cloud_frame(raw_re, raw_im):
-        cube = mxu.C2(
-            reformat(raw_re, num_rx=num_rx, cfgs_per_loop=cpl),
-            reformat(raw_im, num_rx=num_rx, cfgs_per_loop=cpl),
+        # only ch0 + the AoA union are touched: strided raw slices, no full
+        # virtual-cube materialization (reformat_channels docstring)
+        sub_all = mxu.C2(
+            reformat_channels(raw_re, channels=needed, num_rx=num_rx,
+                              cfgs_per_loop=cpl),
+            reformat_channels(raw_im, channels=needed, num_rx=num_rx,
+                              cfgs_per_loop=cpl),
         )
         # CFAR on antenna 0 only; per-detection values as bilinear DFT forms
         # (mxu.rd_values_at) — no multi-channel RD materialization
         rd0 = mxu.range_doppler_map_mxu(
-            mxu.C2(cube.re[0], cube.im[0]), rng_factors, dop_factors
+            mxu.C2(sub_all.re[0], sub_all.im[0]), rng_factors, dop_factors
         )
         mag = mxu.cabs(rd0)
         det = cfar_ops.os_2d_detect(mag, **cfar_params)
         r_i, v_i, valid, count = masked.mask_to_indices_2d(det, max_dets)
         if union_idx.size:
-            sub = mxu.C2(cube.re[union_idx], cube.im[union_idx])
+            sub = mxu.C2(sub_all.re[1:], sub_all.im[1:])
             vals = mxu.rd_values_at(sub, rng_factors, dop_factors, r_i, v_i)
         az = (
             aoa(vals, az_pos, az_factors)

@@ -25,7 +25,10 @@ from mmwave_radar_processing_tpu.processors.point_cloud import (
     spherical_to_cartesian_flu,
 )
 from mmwave_radar_processing_tpu.processors.range_doppler import range_doppler_map
-from mmwave_radar_processing_tpu.processors.virtual_array import reformat
+from mmwave_radar_processing_tpu.processors.virtual_array import (
+    reformat,
+    reformat_channels,
+)
 
 
 class PointCloudBatch(NamedTuple):
@@ -173,20 +176,28 @@ def _build_pipeline_mxu(
         spec = mxu.dft_apply(snap, factors, axis=-1)
         return angle_bins[jnp.argmax(mxu.cabs2(spec), axis=1)]
 
+    needed = (0,) + tuple(int(v) for v in union_idx)
+
     def single_frame(raw_re, raw_im):
         if reformat_input:
-            cube = mxu.C2(
-                reformat(raw_re, num_rx=num_rx, cfgs_per_loop=cpl),
-                reformat(raw_im, num_rx=num_rx, cfgs_per_loop=cpl),
+            # only channel 0 (CFAR map) + the AoA union are ever touched:
+            # build those from strided raw slices instead of materializing
+            # the full virtual cube (reformat_channels docstring)
+            sub_all = mxu.C2(
+                reformat_channels(raw_re, channels=needed, num_rx=num_rx,
+                                  cfgs_per_loop=cpl),
+                reformat_channels(raw_im, channels=needed, num_rx=num_rx,
+                                  cfgs_per_loop=cpl),
             )
         else:
-            cube = mxu.C2(raw_re, raw_im)
+            sub_all = mxu.C2(raw_re[jnp.asarray(needed)],
+                             raw_im[jnp.asarray(needed)])
         # CFAR detects on antenna 0's magnitude map only; the other channels'
         # RD responses are never materialized — per-detection values come
         # from bilinear DFT forms instead (stage bisection on the real chip
         # put the materialize+gather AoA at ~24 ms of a 37 ms dispatch)
         rd0 = mxu.range_doppler_map_mxu(
-            mxu.C2(cube.re[0], cube.im[0]), rng_factors, dop_factors
+            mxu.C2(sub_all.re[0], sub_all.im[0]), rng_factors, dop_factors
         )
         mag = mxu.cabs(rd0)
         # detection-only counting CFAR: bit-exact vs the threshold path,
@@ -194,7 +205,7 @@ def _build_pipeline_mxu(
         det = cfar_ops.os_2d_detect(mag, **cfar_params)
         r_i, v_i, valid, count = masked.mask_to_indices_2d(det, max_dets)
         if union_idx.size:
-            sub = mxu.C2(cube.re[union_idx], cube.im[union_idx])
+            sub = mxu.C2(sub_all.re[1:], sub_all.im[1:])
             vals = mxu.rd_values_at(sub, rng_factors, dop_factors, r_i, v_i)
         az = (
             aoa(vals, az_pos, az_factors)

@@ -119,6 +119,37 @@ def measure_scaling(
             dt = _time_fn(fn, (xs,), iters)
         record("halo_cfar_2d", n, x.shape[0] * x.shape[1], dt)
 
+    # ---- bare collective microbenches ------------------------------------ #
+    # per-collective timings at each device count, on the payload sizes the
+    # sharded pipelines actually move: the CFAR halo ppermute (train+guard
+    # boundary rows) and the beamforming psum ([ns, A] partial sums).  On ICI
+    # hardware these are the interconnect costs; on the virtual CPU mesh they
+    # time the collective's software path.
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec
+
+    for n in device_counts:
+        if n < 2:
+            continue
+        mesh = make_mesh({"data": n}, avail[:n])
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        halo = rng.standard_normal((n * 8, 128)).astype(np.float32)
+        part = rng.standard_normal((n, 63, 64)).astype(np.float32)
+
+        pperm = jax.jit(shard_map(
+            lambda x: jax.lax.ppermute(x, "data", perm),
+            mesh=mesh, in_specs=PartitionSpec("data"),
+            out_specs=PartitionSpec("data")))
+        psum = jax.jit(shard_map(
+            lambda x: jax.lax.psum(x, "data"),
+            mesh=mesh, in_specs=PartitionSpec("data"),
+            out_specs=PartitionSpec()))
+        xs = jax.device_put(halo, NamedSharding(mesh, P("data", None)))
+        ps = jax.device_put(part, NamedSharding(mesh, P("data", None, None)))
+        record("ppermute_halo_rows", n, halo.size, _time_fn(pperm, (xs,), iters))
+        record("psum_beamform_partials", n, part.size,
+               _time_fn(psum, (ps,), iters))
+
     # ---- snapshot-sharded Capon (psum of partial covariances) ------------ #
     n_bins, n_ant, snaps_per_dev = 64, 12, 32
     steering = bf.steering_ula(grids.phase_shift_bins(64), n_ant)

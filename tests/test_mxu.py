@@ -52,6 +52,20 @@ def test_zoom_dft_matches_scipy(rng):
     np.testing.assert_allclose(mxu.to_complex(out), ref, rtol=2e-3, atol=2e-3)
 
 
+def test_reformat_channels_matches_full_reformat(rng):
+    """Strided per-channel slices == rows of the full virtual cube."""
+    from mmwave_radar_processing_tpu.processors.virtual_array import (
+        reformat, reformat_channels,
+    )
+
+    raw = rng.standard_normal((4, 63, 210)).astype(np.float32)
+    full = np.asarray(reformat(jnp.asarray(raw), num_rx=4, cfgs_per_loop=3))
+    chans = (0, 3, 4, 5, 7, 8, 9)
+    sub = np.asarray(reformat_channels(
+        jnp.asarray(raw), channels=chans, num_rx=4, cfgs_per_loop=3))
+    np.testing.assert_array_equal(sub, full[list(chans)])
+
+
 def test_rd_values_at_matches_full_map(rng):
     """Bilinear per-cell evaluation == gathering from the full RD cube."""
     cube = (
