@@ -27,7 +27,9 @@ from mmwave_radar_processing_tpu.ops import peaks as peaks_ops
 from mmwave_radar_processing_tpu.processors.point_cloud import (
     spherical_to_cartesian_flu,
 )
-from mmwave_radar_processing_tpu.processors.virtual_array import reformat
+from mmwave_radar_processing_tpu.processors.virtual_array import (
+    reformat_channels,
+)
 
 
 class GroundPipelineOut(NamedTuple):
@@ -91,9 +93,12 @@ def build_ground_point_cloud_pipeline(
         gp = jnp.min(jnp.where(ok, peak_ranges, jnp.inf))
         return jnp.where(jnp.isfinite(gp), gp, -1.0)
 
-    def altimeter_step(current, cube: mxu.C2):
-        """MXU altimeter update (mirrors ``Altimeter.step``)."""
-        chirp0 = mxu.C2(cube.re[:, :, 0], cube.im[:, :, 0])
+    def altimeter_step(current, chirp0: mxu.C2):
+        """MXU altimeter update (mirrors ``Altimeter.step``).
+
+        ``chirp0``: ``(channels, ns)`` — loop-0 chirp of every virtual
+        channel, the only slice of the cube the altimeter reads.
+        """
         spec = mxu.dft_apply(chirp0, alt_rng_factors, axis=1)
         coarse = jnp.mean(mxu.cabs(spec), axis=0)
         db = 20.0 * jnp.log10(coarse + 1e-12)
@@ -126,23 +131,36 @@ def build_ground_point_cloud_pipeline(
 
         return jax.lax.cond(gp >= 0, refine, lambda _: current, gp)
 
-    def step(current_alt, frame):
-        raw_re, raw_im = frame
+    needed = (0,) + tuple(int(v) for v in union_idx)
+
+    def alt_step(current_alt, chirp0_pair):
+        """Scan body: the altimeter recursion only — everything else vmaps."""
+        new_alt = altimeter_step(current_alt, mxu.C2(*chirp0_pair))
+        return new_alt, new_alt + range_bias
+
+    def detect_frame(raw_re, raw_im, corrected):
+        """Stateless per-frame detection, batched across the recording.
+
+        The recording-long ``lax.scan`` used to carry this whole body, which
+        serialized the heavy per-frame work behind the (tiny) altimeter
+        recursion; only the altitude track is actually sequential, so the
+        scan now emits ``corrected[T]`` and this runs under ``vmap``.
+        """
         if reformat_input:
-            cube = mxu.C2(
-                reformat(raw_re, num_rx=num_rx, cfgs_per_loop=cpl),
-                reformat(raw_im, num_rx=num_rx, cfgs_per_loop=cpl),
+            sub_all = mxu.C2(
+                reformat_channels(raw_re, channels=needed, num_rx=num_rx,
+                                  cfgs_per_loop=cpl),
+                reformat_channels(raw_im, channels=needed, num_rx=num_rx,
+                                  cfgs_per_loop=cpl),
             )
         else:
-            cube = mxu.C2(raw_re, raw_im)
-
-        new_alt = altimeter_step(current_alt, cube)
-        corrected = new_alt + range_bias
+            sub_all = mxu.C2(raw_re[jnp.asarray(needed)],
+                             raw_im[jnp.asarray(needed)])
 
         # CFAR on antenna 0 only; per-detection values as bilinear DFT forms
         # (mxu.rd_values_at) — no multi-channel RD materialization
         rd0 = mxu.range_doppler_map_mxu(
-            mxu.C2(cube.re[0], cube.im[0]), rng_factors, dop_factors
+            mxu.C2(sub_all.re[0], sub_all.im[0]), rng_factors, dop_factors
         )
         mag = mxu.cabs(rd0)
 
@@ -165,7 +183,7 @@ def build_ground_point_cloud_pipeline(
         r_i, v_i, valid, count = masked.mask_to_indices_2d(det_mask, max_dets)
 
         if union_idx.size:
-            sub = mxu.C2(cube.re[union_idx], cube.im[union_idx])
+            sub = mxu.C2(sub_all.re[1:], sub_all.im[1:])
             vals = mxu.rd_values_at(sub, rng_factors, dop_factors, r_i, v_i)
 
         def aoa(pos, factors):
@@ -183,7 +201,7 @@ def build_ground_point_cloud_pipeline(
         vels = vel0 + v_i.astype(jnp.float32) * vel_res
         pts = spherical_to_cartesian_flu(ranges, az, el, vels)
         pts = jnp.where(valid[:, None], pts, 0.0)
-        return new_alt, (pts, valid, count, corrected)
+        return pts, valid, count
 
     def pipeline(raw_re, raw_im, init_altitude=None):
         init = (
@@ -191,9 +209,17 @@ def build_ground_point_cloud_pipeline(
             if init_altitude is None
             else jnp.asarray(init_altitude, jnp.float32)
         )
-        final, (pts, valid, count, alts) = jax.lax.scan(
-            step, init, (raw_re, raw_im)
-        )
+        # loop-0 chirp of every virtual channel: chirp0[v = cfg*rx_n + r]
+        # = raw[r, :, cfg]  (TDM order; see virtual_array.reformat)
+        if reformat_input:
+            re0 = jnp.moveaxis(raw_re[..., :num_rx, :, :cpl], -1, -3)
+            im0 = jnp.moveaxis(raw_im[..., :num_rx, :, :cpl], -1, -3)
+            re0 = re0.reshape(raw_re.shape[0], cpl * num_rx, ns)
+            im0 = im0.reshape(raw_im.shape[0], cpl * num_rx, ns)
+        else:
+            re0, im0 = raw_re[..., 0], raw_im[..., 0]
+        final, alts = jax.lax.scan(alt_step, init, (re0, im0))
+        pts, valid, count = jax.vmap(detect_frame)(raw_re, raw_im, alts)
         return GroundPipelineOut(pts, valid, count, alts, final)
 
     return jax.jit(pipeline)

@@ -223,8 +223,6 @@ def build_velocity_pipeline(
             reformat(raw_re, num_rx=num_rx, cfgs_per_loop=cpl),
             reformat(raw_im, num_rx=num_rx, cfgs_per_loop=cpl),
         )
-        rng_fft = mxu.dft_apply(cube, rng_factors, axis=-2)  # [rx, range, chirp]
-
         lo = jnp.maximum(0.0, altitude - lower_range_bound)
         hi = jnp.minimum(cfg.range_max_m, altitude + upper_range_bound)
 
@@ -232,17 +230,20 @@ def build_velocity_pipeline(
         # satisfy the altitude window, and every excluded row contributes an
         # exact zero to the masked mean — so the chirp/angle DFTs (the
         # dominant stage: ~156 of 171 ms at batch 1024, measured by stage
-        # bisection) run on a dynamic_slice of W rows instead of all ns.
-        # FP-exact vs the full computation (dropping zero terms).
+        # bisection) run on W rows instead of all ns.  The slice folds into
+        # the range DFT itself: selecting output rows == selecting factor
+        # matrix columns, so only the W windowed range bins are ever computed
+        # (FP-identical dot products to compute-then-slice).
         start = jnp.clip(
             jnp.sum(range_bins < lo).astype(jnp.int32), 0, ns - win_rows
         )
         bins_w = jax.lax.dynamic_slice(range_bins, (start,), (win_rows,))
         rmask = ((bins_w >= lo) & (bins_w <= hi)).astype(jnp.float32)
-        rng_fft = mxu.C2(
-            jax.lax.dynamic_slice_in_dim(rng_fft.re, start, win_rows, axis=1),
-            jax.lax.dynamic_slice_in_dim(rng_fft.im, start, win_rows, axis=1),
+        rng_factors_w = (
+            jax.lax.dynamic_slice_in_dim(rng_factors[0], start, win_rows, axis=1),
+            jax.lax.dynamic_slice_in_dim(rng_factors[1], start, win_rows, axis=1),
         )
+        rng_fft = mxu.dft_apply(cube, rng_factors_w, axis=-2)  # [rx, W, chirp]
 
         az_resp = 0.5 * (
             response(rng_fft, az_sets[0], az_angle_factors, rmask)
