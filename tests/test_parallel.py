@@ -232,3 +232,23 @@ def test_overlap_save_guards(mesh, rng):
     sh = NamedSharding(mesh, P(None, "data"))
     with mesh, pytest.raises(ValueError, match="samples_per_shard"):
         fn(C2(jax.device_put(xr, sh), jax.device_put(xr, sh)))
+
+
+def test_measure_scaling_structure(flagship_config):
+    """Scaling harness: tables for every pipeline + bare-collective timings."""
+    from mmwave_radar_processing_tpu.parallel.scaling import measure_scaling
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual multi-device mesh")
+    table = measure_scaling(
+        flagship_config, device_counts=(1, 2), per_device_batch=1, iters=1
+    )
+    for name in ("combined", "halo_cfar_2d", "capon_snapshot",
+                 "ppermute_halo_rows", "psum_beamform_partials"):
+        assert name in table, name
+        entry = table[name]
+        assert len(entry["devices"]) == len(entry["samples_per_s"])
+        assert all(s > 0 for s in entry["samples_per_s"])
+    # collectives only exist at n >= 2
+    assert table["ppermute_halo_rows"]["devices"] == [2]
+    assert table["combined"]["devices"] == [1, 2]
