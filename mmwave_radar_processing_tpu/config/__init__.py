@@ -14,6 +14,7 @@ davidmhunt/mmwave_radar_processing.
 from mmwave_radar_processing_tpu.config.manager import (
     ChirpCfg,
     ConfigManager,
+    ConfigNotLoaded,
     InvalidConfiguration,
     ProfileCfg,
     RadarConfig,
@@ -24,6 +25,7 @@ from mmwave_radar_processing_tpu.config import grids
 __all__ = [
     "ChirpCfg",
     "ConfigManager",
+    "ConfigNotLoaded",
     "InvalidConfiguration",
     "ProfileCfg",
     "RadarConfig",

@@ -21,6 +21,10 @@ from typing import List, Optional
 SPEED_OF_LIGHT_M_S = 299_792_458.0
 
 
+class ConfigNotLoaded(Exception):
+    """Accessing derived parameters before ``load_cfg`` (ref cfgManager.py:13)."""
+
+
 class InvalidConfiguration(Exception):
     """Raised when a ``.cfg`` file cannot be interpreted."""
 

@@ -25,7 +25,16 @@ from mmwave_radar_processing_tpu.plotting.movie_generator import (
     SyntheticArrayMovieGenerator,
 )
 
+# reference-name aliases (ref movies_mmWave_data.py / movies_odometry.py /
+# movies_synthetic_array_data.py class names) for drop-in migration
+MovieGeneratorMmWaveData = MmWaveDataMovieGenerator
+MovieGeneratorOdometry = OdometryMovieGenerator
+MovieGeneratorSyntheticArrayData = SyntheticArrayMovieGenerator
+
 __all__ = [
+    "MovieGeneratorMmWaveData",
+    "MovieGeneratorOdometry",
+    "MovieGeneratorSyntheticArrayData",
     "PlotterMmWaveData",
     "PlotterOdometryData",
     "PlotterSyntheticArrayData",

@@ -27,7 +27,11 @@ from mmwave_radar_processing_tpu.visualization.controller import (
     MmWaveRadarProcessorController,
 )
 
+# reference-name alias (ref backends/mmwave_radar_processor_controller.py:22)
+mmWaveRadarProcessorController = MmWaveRadarProcessorController
+
 __all__ = [
+    "mmWaveRadarProcessorController",
     "ProcessorSpec",
     "get_default_registry",
     "ConfigModel",

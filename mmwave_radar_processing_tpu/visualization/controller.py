@@ -72,6 +72,13 @@ class ConfigModel:
 class MmWaveRadarProcessorController:
     """Frame-playback controller with observer-callback signals.
 
+    Merges the reference's ``mmWaveRadarProcessorController`` (playback,
+    models, movie export) and ``ViewController`` (per-processor fan-out with
+    the YAML-verbatim kwargs and ``view_keys`` payload protocol) into one
+    headless object — the Qt timer/signal plumbing is replaced by plain
+    callbacks so the same controller drives the Qt shell, tests, and movie
+    export.  Reference-name aliases are exported for migration.
+
     Callbacks:
     - ``on_view_update(key: str, payload: dict)``
     - ``on_frame_processed(idx: int)``
