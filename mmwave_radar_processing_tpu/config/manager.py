@@ -22,7 +22,11 @@ SPEED_OF_LIGHT_M_S = 299_792_458.0
 
 
 class ConfigNotLoaded(Exception):
-    """Accessing derived parameters before ``load_cfg`` (ref cfgManager.py:13)."""
+    """Exported for reference import parity (ref cfgManager.py:13).
+
+    Like the reference's, this exception is defined but never raised:
+    pre-load access raises :class:`InvalidConfiguration` (or AttributeError
+    for unknown attributes)."""
 
 
 class InvalidConfiguration(Exception):

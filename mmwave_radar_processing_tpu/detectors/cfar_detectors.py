@@ -46,13 +46,12 @@ class BaseCFAR1D(_BaseCFAR):
 
     def plot_detections(self, x, ax=None):
         """Debug plot: signal, threshold, noise estimate, detection markers
-        (reference ``detectors/base.py:67-113``).  Runs :meth:`detect` if the
-        caches are empty."""
+        (reference ``detectors/base.py:67-113``).  Always re-runs
+        :meth:`detect` so the caches match ``x``."""
         import matplotlib.pyplot as plt
 
         x = np.asarray(x)
-        if self.thresholds is None:
-            self.detect(x)
+        self.detect(x)
         if ax is None:
             _, ax = plt.subplots(figsize=(8, 3.5))
         ax.plot(x, label="signal")
@@ -90,12 +89,12 @@ class BaseCFAR2D(_BaseCFAR):
 
     def plot_detections(self, x, ax=None):
         """Debug plot: magnitude heatmap + detection scatter (reference
-        ``detectors/base.py`` 2D debug helper)."""
+        ``detectors/base.py`` 2D debug helper).  Always re-runs
+        :meth:`detect` so the caches match ``x``."""
         import matplotlib.pyplot as plt
 
         x = np.asarray(x)
-        if self.thresholds is None:
-            self.detect(x)
+        self.detect(x)
         if ax is None:
             _, ax = plt.subplots(figsize=(6, 4))
         im = ax.imshow(20 * np.log10(np.abs(x) + 1e-12), aspect="auto",

@@ -318,14 +318,15 @@ def os_2d_detect(
     Accepts leading batch dims: ``[..., R, D] -> [..., R, D]`` bool.
 
     ``method="pallas"`` runs the fused VMEM-resident counting kernel
-    (``ops/pallas/os_cfar.py``): the XLA slice formulation below reads a
-    shifted copy of the map per training offset (~255x HBM expansion on the
-    flagship window), while the kernel reads the map once and writes only the
-    mask.  Measured on the real chip, however, the one-map-per-grid-step
-    kernel serializes the batch and underfills the VPU lanes (63x70 maps),
-    costing 2.2x end-to-end on the north-star pipeline (12.6k vs 28.1k
-    frames/s) — so ``method="auto"`` resolves to the XLA path everywhere.
-    Both are bit-identical (tests/test_ops.py).
+    (``ops/pallas/os_cfar.py``, batched lane-major: batch on the 128-lane
+    axis).  The XLA slice formulation below nominally reads a shifted copy of
+    the map per training offset (~187x expansion on the flagship window), but
+    fusion serves those slices from on-chip memory, so the expansion never
+    hits HBM: measured isolated on the real chip at batch 1024 the XLA path
+    takes 2.3 ms vs 3.0 ms for the lane-major kernel (and 2.2x worse
+    end-to-end for the earlier one-map-per-grid-step kernel it replaced) —
+    so ``method="auto"`` resolves to the XLA path everywhere.  Both are
+    bit-identical (tests/test_ops.py); BENCH_SELF.md records the comparison.
     """
     assert alpha > 0.0
     edge_r = num_train[0] + num_guard[0]

@@ -177,6 +177,37 @@ def aoa_factors(n_antennas: int, num_angle_bins: int, shift: bool):
     return dft_factors(n_antennas, num_angle_bins, shift=shift)
 
 
+def aoa_union_layout(az_idx: np.ndarray, el_idx: np.ndarray):
+    """Channel-subset layout shared by the fused point-cloud pipelines.
+
+    Returns ``(union_idx, az_pos, el_pos, needed)``: the sorted union of the
+    two antenna subsets, each subset's positions within that union, and the
+    channel tuple to extract from the raw cube — channel 0 first (the CFAR
+    map antenna) followed by the union (so a pipeline indexes ``sub_all[0]``
+    for CFAR and ``sub_all[1:]`` for AoA).
+    """
+    az_idx = np.asarray(az_idx, int)
+    el_idx = np.asarray(el_idx, int)
+    union_idx = np.unique(np.concatenate([az_idx, el_idx])) if (
+        az_idx.size or el_idx.size) else np.zeros(0, int)
+    az_pos = np.searchsorted(union_idx, az_idx)
+    el_pos = np.searchsorted(union_idx, el_idx)
+    needed = (0,) + tuple(int(v) for v in union_idx)
+    return union_idx, az_pos, el_pos, needed
+
+
+def aoa_peak_angles(vals: C2, pos, factors, angle_bins: jax.Array) -> jax.Array:
+    """Per-detection AoA: zero-padded angle DFT of ``vals[pos]`` -> argmax bin.
+
+    ``vals``: ``(U, K)`` per-detection snapshot values on the antenna union
+    (from :func:`rd_values_at`); ``pos``: this subset's positions in the
+    union (reference ``point_cloud_generator.py:143-214``).
+    """
+    snap = C2(vals.re[pos].T, vals.im[pos].T)  # (K, A)
+    spec = dft_apply(snap, factors, axis=-1)
+    return angle_bins[jnp.argmax(cabs2(spec), axis=1)]
+
+
 def rd_values_at(
     cube: C2, rng_factors, dop_factors, r_idx: jax.Array, v_idx: jax.Array
 ) -> C2:

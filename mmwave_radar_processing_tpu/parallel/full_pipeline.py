@@ -66,17 +66,7 @@ def build_full_pipeline(
 
     vel_fn_single = build_velocity_pipeline(cfg, **(velocity_kwargs or {}))
 
-    union_idx = np.unique(np.concatenate([az_idx, el_idx])) if (
-        az_idx.size or el_idx.size) else np.zeros(0, int)
-    az_pos = np.searchsorted(union_idx, az_idx)
-    el_pos = np.searchsorted(union_idx, el_idx)
-
-    def aoa(vals: mxu.C2, pos, factors):
-        snap = mxu.C2(vals.re[pos].T, vals.im[pos].T)
-        spec = mxu.dft_apply(snap, factors, axis=-1)
-        return angle_bins[jnp.argmax(mxu.cabs2(spec), axis=1)]
-
-    needed = (0,) + tuple(int(v) for v in union_idx)
+    union_idx, az_pos, el_pos, needed = mxu.aoa_union_layout(az_idx, el_idx)
 
     def point_cloud_frame(raw_re, raw_im):
         # only ch0 + the AoA union are touched: strided raw slices, no full
@@ -99,11 +89,11 @@ def build_full_pipeline(
             sub = mxu.C2(sub_all.re[1:], sub_all.im[1:])
             vals = mxu.rd_values_at(sub, rng_factors, dop_factors, r_i, v_i)
         az = (
-            aoa(vals, az_pos, az_factors)
+            mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins)
             if az_idx.size else jnp.zeros(r_i.shape, jnp.float32)
         )
         el = (
-            aoa(vals, el_pos, el_factors)
+            mxu.aoa_peak_angles(vals, el_pos, el_factors, angle_bins)
             if el_idx.size else jnp.zeros(r_i.shape, jnp.float32)
         )
         ranges = r_i.astype(jnp.float32) * range_res

@@ -65,10 +65,7 @@ def build_ground_point_cloud_pipeline(
     num_rx, cpl = cfg.num_rx_antennas, cfg.chirp_cfgs_per_loop
     az_idx = np.asarray(az_antenna_idxs, int)
     el_idx = np.asarray(el_antenna_idxs, int)
-    union_idx = np.unique(np.concatenate([az_idx, el_idx])) if (
-        az_idx.size or el_idx.size) else np.zeros(0, int)
-    az_pos = np.searchsorted(union_idx, az_idx)
-    el_pos = np.searchsorted(union_idx, el_idx)
+    union_idx, az_pos, el_pos, needed = mxu.aoa_union_layout(az_idx, el_idx)
     angle_bins = jnp.asarray(grids.angle_bins(num_angle_bins))
     plain_bins = jnp.asarray(grids.range_bins(cfg, variant="plain"))
     eps_bins = jnp.asarray(grids.range_bins(cfg, variant="eps"))
@@ -131,8 +128,6 @@ def build_ground_point_cloud_pipeline(
 
         return jax.lax.cond(gp >= 0, refine, lambda _: current, gp)
 
-    needed = (0,) + tuple(int(v) for v in union_idx)
-
     def alt_step(current_alt, chirp0_pair):
         """Scan body: the altimeter recursion only — everything else vmaps."""
         new_alt = altimeter_step(current_alt, mxu.C2(*chirp0_pair))
@@ -186,17 +181,10 @@ def build_ground_point_cloud_pipeline(
             sub = mxu.C2(sub_all.re[1:], sub_all.im[1:])
             vals = mxu.rd_values_at(sub, rng_factors, dop_factors, r_i, v_i)
 
-        def aoa(pos, factors):
-            snap = mxu.C2(vals.re[pos].T, vals.im[pos].T)
-            spec = mxu.dft_apply(snap, factors, axis=-1)
-            return angle_bins[jnp.argmax(mxu.cabs2(spec), axis=1)]
-
-        az = aoa(az_pos, az_factors) if az_idx.size else jnp.zeros(
-            r_i.shape, jnp.float32
-        )
-        el = aoa(el_pos, el_factors) if el_idx.size else jnp.zeros(
-            r_i.shape, jnp.float32
-        )
+        az = (mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins)
+              if az_idx.size else jnp.zeros(r_i.shape, jnp.float32))
+        el = (mxu.aoa_peak_angles(vals, el_pos, el_factors, angle_bins)
+              if el_idx.size else jnp.zeros(r_i.shape, jnp.float32))
         ranges = r_i.astype(jnp.float32) * range_res
         vels = vel0 + v_i.astype(jnp.float32) * vel_res
         pts = spherical_to_cartesian_flu(ranges, az, el, vels)

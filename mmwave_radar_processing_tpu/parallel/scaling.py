@@ -125,8 +125,7 @@ def measure_scaling(
     # boundary rows) and the beamforming psum ([ns, A] partial sums).  On ICI
     # hardware these are the interconnect costs; on the virtual CPU mesh they
     # time the collective's software path.
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec
+    from jax import shard_map
 
     for n in device_counts:
         if n < 2:
@@ -138,12 +137,10 @@ def measure_scaling(
 
         pperm = jax.jit(shard_map(
             lambda x: jax.lax.ppermute(x, "data", perm),
-            mesh=mesh, in_specs=PartitionSpec("data"),
-            out_specs=PartitionSpec("data")))
+            mesh=mesh, in_specs=P("data"), out_specs=P("data")))
         psum = jax.jit(shard_map(
             lambda x: jax.lax.psum(x, "data"),
-            mesh=mesh, in_specs=PartitionSpec("data"),
-            out_specs=PartitionSpec()))
+            mesh=mesh, in_specs=P("data"), out_specs=P()))
         xs = jax.device_put(halo, NamedSharding(mesh, P("data", None)))
         ps = jax.device_put(part, NamedSharding(mesh, P("data", None, None)))
         record("ppermute_halo_rows", n, halo.size, _time_fn(pperm, (xs,), iters))
