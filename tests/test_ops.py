@@ -27,6 +27,19 @@ def test_mask_to_indices():
     np.testing.assert_array_equal(np.asarray(idx), [0, 1, 2, 3])
 
 
+def test_mask_to_indices_randomized_exactness(rng):
+    """approx_min_k(recall=1.0) compaction == np.where, many densities/sizes."""
+    for n in (63, 120, 4410):
+        for density in (0.0, 0.005, 0.05, 0.5, 1.0):
+            mask = rng.random(n) < density
+            for cap in (7, 128, n + 9):
+                idx, valid, count = masked.mask_to_indices(mask, cap)
+                ref = np.flatnonzero(mask)[:cap]
+                assert int(count) == min(mask.sum(), cap)
+                np.testing.assert_array_equal(
+                    np.asarray(idx)[np.asarray(valid)], ref)
+
+
 def test_mask_to_indices_2d_row_major():
     mask = np.zeros((4, 5), bool)
     mask[1, 3] = mask[2, 0] = mask[3, 4] = True
