@@ -9,11 +9,11 @@ the driver; CPU if forced).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference library publishes no benchmark numbers (BASELINE.md);
-``vs_baseline`` is measured against the reference's own numpy pipeline
-(VirtualArrayReformatter + RangeDopplerDetector2D[os_cfar_2d] +
-PointCloudGenerator) timed on this container's CPU: 139.8 frames/s
-(7.2 ms/frame).  Re-measure with ``python bench.py --measure-baseline`` when
-the reference checkout is present.
+``vs_baseline`` divides by the *matching* reference numpy workload timed on
+this container's CPU and persisted in ``BASELINE_MEASURED.json``
+(``python bench.py --measure-baseline`` re-times all of them; see
+``BASELINE_WORKLOADS`` for the metric -> reference-loop mapping).  Metrics
+with no reference counterpart (capon, bartlett) print ``vs_baseline: null``.
 """
 
 import argparse
@@ -24,22 +24,36 @@ import time
 
 import numpy as np
 
-REFERENCE_CPU_FRAMES_PER_S = 139.8  # measured in-container; see module docstring
+_HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_MEASURED_PATH = os.path.join(_HERE, "BASELINE_MEASURED.json")
 
 CFAR_PARAMS = dict(num_train=(5, 5), num_guard=(3, 2), rho=0.7, alpha=4.0)
 AZ_IDXS, EL_IDXS = (0, 3, 4, 7), (9, 8, 5, 4)
+
+# Which reference workload each metric's ``vs_baseline`` divides by.  Metrics
+# absent here (capon/bartlett) have NO reference counterpart — their ratio is
+# printed as null rather than against an unrelated workload.
+BASELINE_WORKLOADS = {
+    "pointcloud": "reference VirtualArrayReformatter + "
+                  "RangeDopplerDetector2D[os_cfar_2d] + PointCloudGenerator",
+    "velocity": "reference VirtualArrayReformatter + "
+                "VelocityEstimator.process(adc_cube, altitude) ODS ADC path",
+    "combined": "reference VirtualArrayReformatter + PointCloudGenerator"
+                "[os_cfar_2d] + VelocityEstimator ADC path per frame",
+    "ground": "reference VirtualArrayReformatter + PointCloudGenerator"
+              "[range_doppler_ground_detector] (stateful altimeter gate)",
+}
 
 
 def _flagship_config():
     from mmwave_radar_processing_tpu.config import load_cfg
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "configs", "6843_RadVel_ods_20Hz.cfg")
+    path = os.path.join(_HERE, "configs", "6843_RadVel_ods_20Hz.cfg")
     return load_cfg(path, array_geometry="ods", array_direction="down")
 
 
-def measure_reference_baseline(n: int = 40) -> float:
-    """Time the reference numpy pipeline on CPU (requires /root/reference)."""
+def _reference_processors():
+    """Reference-library processors on the flagship config (CPU numpy)."""
     sys.path.insert(0, "/root/reference")
     from mmwave_radar_processing.config_managers.cfgManager import ConfigManager
     from mmwave_radar_processing.processors.virtual_array_reformater import (
@@ -48,26 +62,108 @@ def measure_reference_baseline(n: int = 40) -> float:
     from mmwave_radar_processing.processors.point_cloud_generator import (
         PointCloudGenerator,
     )
+    from mmwave_radar_processing.processors.velocity_estimator import (
+        VelocityEstimator,
+    )
 
     cfg = ConfigManager()
-    cfg.load_cfg(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "configs", "6843_RadVel_ods_20Hz.cfg"), "ods", "down")
+    cfg.load_cfg(os.path.join(_HERE, "configs", "6843_RadVel_ods_20Hz.cfg"),
+                 "ods", "down")
     var = VirtualArrayReformatter(cfg)
     pcg = PointCloudGenerator(
         cfg, az_antenna_idxs=list(AZ_IDXS), el_antenna_idxs=list(EL_IDXS),
         detector_type="range_doppler_detector_2d",
         detector_params=dict(cfar_type="os_cfar_2d", cfar_params=CFAR_PARAMS),
     )
+    # ground-detector params from the reference's shipped
+    # analyzer_configs/velocity_analysis_config.yaml:16-30
+    pcg_ground = PointCloudGenerator(
+        cfg, az_antenna_idxs=list(AZ_IDXS), el_antenna_idxs=list(EL_IDXS),
+        detector_type="range_doppler_ground_detector",
+        detector_params=dict(
+            vel_cfar_type="os_cfar_1d",
+            vel_cfar_params=dict(num_train=5, num_guard=2, rho=0.6, alpha=4),
+            altimeter_params=dict(
+                min_altitude_m=0.25, zoom_search_region_m=0.2,
+                altitude_search_limit_m=0.4, range_bias=0.0,
+                precise_est_enabled=True,
+            ),
+        ),
+    )
+    ve = VelocityEstimator(cfg, lower_range_bound=0.5, upper_range_bound=0.5)
+    return var, pcg, pcg_ground, ve
+
+
+def measure_reference_baselines(n: int = 40) -> dict:
+    """Time the reference numpy workloads on CPU (requires /root/reference).
+
+    One entry per metric in :data:`BASELINE_WORKLOADS`; each is the matching
+    reference loop timed per frame on identical simulated cubes (reference
+    ``scripts/test_vel_estimation.py:145-176`` is the velocity-loop model).
+    """
+    var, pcg, pcg_ground, ve = _reference_processors()
     rng = np.random.default_rng(0)
     frames = [
         rng.standard_normal((4, 63, 210)) + 1j * rng.standard_normal((4, 63, 210))
         for _ in range(8)
     ]
-    pcg.process(var.process(frames[0]))
-    t0 = time.perf_counter()
-    for i in range(n):
-        pcg.process(var.process(frames[i % 8]))
-    return n / (time.perf_counter() - t0)
+    virt = [var.process(f) for f in frames]
+
+    def timed(fn, n_iter=n):
+        fn(0)  # warmup (fills any internal state/caches)
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            fn(i)
+        return n_iter / (time.perf_counter() - t0)
+
+    out = {}
+    out["pointcloud"] = timed(lambda i: pcg.process(var.process(frames[i % 8])))
+    out["velocity"] = timed(
+        lambda i: ve.process(adc_cube=virt[i % 8], altitude=1.2) is not None
+        and var.process(frames[i % 8]) is not None
+    )
+    out["combined"] = timed(
+        lambda i: (
+            lambda v: (pcg.process(v), ve.process(adc_cube=v, altitude=1.2))
+        )(var.process(frames[i % 8]))
+    )
+    out["ground"] = timed(
+        lambda i: pcg_ground.process(var.process(frames[i % 8]))
+    )
+    return out
+
+
+def write_measured_baselines(n: int = 40) -> dict:
+    """Measure and persist the per-metric reference baselines."""
+    import platform
+
+    vals = measure_reference_baselines(n)
+    doc = {
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "host": platform.node(),
+        "n_frames": n,
+        "baselines": {
+            k: {"frames_per_s": round(v, 2), "workload": BASELINE_WORKLOADS[k]}
+            for k, v in vals.items()
+        },
+    }
+    with open(BASELINE_MEASURED_PATH, "w") as f:
+        json.dump(doc, f, indent=1)
+    return doc
+
+
+def load_measured_baseline(metric: str):
+    """(frames_per_s, workload) for ``metric``, or (None, reason)."""
+    if metric not in BASELINE_WORKLOADS:
+        return None, "no reference counterpart for this workload"
+    try:
+        with open(BASELINE_MEASURED_PATH) as f:
+            doc = json.load(f)
+        entry = doc["baselines"][metric]
+        return float(entry["frames_per_s"]), entry["workload"]
+    except (OSError, KeyError, ValueError):
+        return None, ("no measured baseline on record — run "
+                      "`python bench.py --measure-baseline`")
 
 
 def main():
@@ -90,7 +186,13 @@ def main():
                              "scaling: samples/s vs devices table (uses an "
                              "8-device virtual CPU mesh when only one real "
                              "chip is attached)")
-    parser.add_argument("--measure-baseline", action="store_true")
+    parser.add_argument("--measure-baseline", action="store_true",
+                        help="re-time the reference CPU workloads and persist "
+                             "BASELINE_MEASURED.json, then exit")
+    parser.add_argument("--calibrate", action="store_true",
+                        help="measure achievable HBM GB/s and f32 TFLOP/s on "
+                             "the attached chip, persist PEAKS_MEASURED.json, "
+                             "then exit")
     parser.add_argument("--peak-tflops", type=float, default=None,
                         help="chip float32 matmul peak for MFU (default: "
                              "TPU v5e-class 49 f32 TFLOP/s)")
@@ -100,10 +202,25 @@ def main():
     args = parser.parse_args()
 
     if args.measure_baseline:
-        fps = measure_reference_baseline()
-        print(f"reference CPU pipeline: {fps:.2f} frames/s", file=sys.stderr)
+        doc = write_measured_baselines()
+        for k, v in doc["baselines"].items():
+            print(f"reference CPU {k}: {v['frames_per_s']:.2f} frames/s",
+                  file=sys.stderr)
+        print(f"persisted to {BASELINE_MEASURED_PATH}", file=sys.stderr)
+        print(json.dumps(doc))
+        return
 
     import jax
+
+    if args.calibrate:
+        from mmwave_radar_processing_tpu.utils.roofline import measure_peaks
+
+        peaks = measure_peaks()
+        peaks["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        with open(os.path.join(_HERE, "PEAKS_MEASURED.json"), "w") as f:
+            json.dump(peaks, f, indent=1)
+        print(json.dumps(peaks))
+        return
 
     if args.metric == "scaling":
         # Multi-device measurement: with a single attached chip, fall back to
@@ -213,11 +330,14 @@ def main():
         dt = time.perf_counter() - t0
         best = max(best, args.iters * args.batch / dt)
 
+    base_fps, base_note = load_measured_baseline(args.metric)
     result = {
         "metric": metric_name,
         "value": round(best, 1),
         "unit": "frames/s",
-        "vs_baseline": round(best / REFERENCE_CPU_FRAMES_PER_S, 2),
+        "vs_baseline": round(best / base_fps, 2) if base_fps else None,
+        "baseline_frames_per_s": base_fps,
+        "baseline_workload": base_note,
     }
     result.update(_roofline_fields(fn, bench_args, args, cfg, best))
     print(json.dumps(result))
@@ -292,7 +412,7 @@ def _roofline_fields(fn, bench_args, args, cfg, frames_per_s) -> dict:
     # that XLA fusion serves from VMEM/registers are billed as HBM traffic —
     # an *upper bound*.  hbm_util > 1 therefore means heavy on-chip reuse
     # (measured on the CFAR shifted-slice stack), not a physics violation.
-    return {
+    fields = {
         "flops_per_frame": round(flops_per_frame),
         "bytes_per_frame": round(bytes_per_frame),
         "tflops": round(tflops, 3),
@@ -306,6 +426,21 @@ def _roofline_fields(fn, bench_args, args, cfg, frames_per_s) -> dict:
         "peak_tflops": peak_tflops,
         "peak_gbs": peak_gbs,
     }
+    # Calibrated *achievable* peaks (bench.py --calibrate): utilization vs
+    # what this chip actually delivers through this dispatch path, not the
+    # datasheet upper bound.
+    try:
+        with open(os.path.join(_HERE, "PEAKS_MEASURED.json")) as f:
+            peaks = json.load(f)
+        fields["measured_peak_gbs"] = peaks["measured_hbm_gbs"]
+        fields["measured_peak_tflops"] = peaks["measured_f32_tflops"]
+        fields["hbm_util_vs_measured"] = round(
+            gbs / peaks["measured_hbm_gbs"], 4)
+        fields["mfu_vs_measured"] = round(
+            tflops / peaks["measured_f32_tflops"], 4)
+    except (OSError, KeyError, ValueError):
+        pass
+    return fields
 
 
 if __name__ == "__main__":

@@ -98,17 +98,44 @@ def build_velocity_pipeline(
     el_sets = tuple(np.asarray(s, int) for s in ODS_EL_SETS_VIRTUAL)
     base_key = jax.random.PRNGKey(seed)
 
-    def response(rng_fft: mxu.C2, rx_set, angle_factors, rmask):
-        """One sub-array's coarse Doppler-azimuth response [vel, valid_angle]."""
-        sub = mxu.C2(rng_fft.re[rx_set], rng_fft.im[rx_set])  # [4, range, chirp]
-        data = mxu.C2(
-            jnp.moveaxis(sub.re, 0, -1), jnp.moveaxis(sub.im, 0, -1)
-        )  # [range, chirp, rx]
-        spec = mxu.dft_apply(data, chirp_factors, axis=1)
-        spec = mxu.dft_apply(spec, angle_factors, axis=2)  # [range, vel, angle]
-        mag = mxu.cabs(spec)[..., valid_cols]
-        w = rmask[:, None, None]
-        return jnp.sum(mag * w, axis=0) / jnp.maximum(jnp.sum(rmask), 1.0)
+    # All four sub-array responses ride ONE stacked contraction chain instead
+    # of four separate materialize-and-reduce passes (stage bisection put ~45
+    # of 57 ms at batch 1024 in the old per-set formulation): the antenna-set
+    # axis is a leading batch dim, the valid-angle column subset is baked into
+    # the angle factor constants (so only Av of 64 angle bins are ever
+    # computed), and the magnitude + masked range-mean fuse into a single
+    # pass over the one [set, W, vel, angle] spectrum.
+    set_idx = np.stack([az_sets[0], az_sets[1], el_sets[0], el_sets[1]])  # (4,4)
+    ang_c = jnp.stack(
+        [az_angle_factors[0][:, valid_cols], az_angle_factors[0][:, valid_cols],
+         el_angle_factors[0][:, valid_cols], el_angle_factors[0][:, valid_cols]]
+    )  # [4 sets, rx, Av]
+    ang_s = jnp.stack(
+        [az_angle_factors[1][:, valid_cols], az_angle_factors[1][:, valid_cols],
+         el_angle_factors[1][:, valid_cols], el_angle_factors[1][:, valid_cols]]
+    )
+
+    def chirp_apply(rng_w: mxu.C2, cc, ss) -> mxu.C2:
+        """Chirp (velocity) DFT over all 12 channels at once: [12, W, nv']."""
+        re = (jnp.einsum("cwl,lv->cwv", rng_w.re, cc)
+              + jnp.einsum("cwl,lv->cwv", rng_w.im, ss))
+        im = (jnp.einsum("cwl,lv->cwv", rng_w.im, cc)
+              - jnp.einsum("cwl,lv->cwv", rng_w.re, ss))
+        return mxu.C2(re, im)
+
+    def set_responses(chv: mxu.C2, rmask, row_scale=None):
+        """(az_resp, el_resp) [nv', Av] from the chirp-DFT'd window [12, W, nv']."""
+        u_re, u_im = chv.re[set_idx], chv.im[set_idx]  # [4, rx, W, nv']
+        sp_re = (jnp.einsum("srwv,sra->swva", u_re, ang_c)
+                 + jnp.einsum("srwv,sra->swva", u_im, ang_s))
+        sp_im = (jnp.einsum("srwv,sra->swva", u_im, ang_c)
+                 - jnp.einsum("srwv,sra->swva", u_re, ang_s))
+        mag = jnp.sqrt(sp_re * sp_re + sp_im * sp_im)
+        resp = jnp.einsum("swva,w->sva", mag, rmask) / jnp.maximum(
+            jnp.sum(rmask), 1.0)
+        if row_scale is not None:
+            resp = resp * row_scale[None, :, None]
+        return 0.5 * (resp[0] + resp[1]), 0.5 * (resp[2] + resp[3])
 
     vmax = cfg.vel_max_m_s
     vel_fs = 1.0 / cfg.vel_res_m_s
@@ -172,30 +199,37 @@ def build_velocity_pipeline(
         )
         return bins, row_valid, (neg_bins, neg_ok), (pos_bins, pos_ok)
 
-    def precise_response(rng_fft, rx_set, angle_factors, rmask, grid):
-        """Zoomed Doppler-azimuth response for one sub-array [2*nv, angle]."""
-        bins, _, (neg_bins, neg_ok), (pos_bins, pos_ok) = grid
-        sub = mxu.C2(rng_fft.re[rx_set], rng_fft.im[rx_set])
-        data = mxu.C2(jnp.moveaxis(sub.re, 0, -1), jnp.moveaxis(sub.im, 0, -1))
+    def precise_responses(rng_w: mxu.C2, rmask, grid):
+        """All four zoomed responses [2*nv, Av] via one stacked chain.
 
-        def half(lo, hi, ok):
+        The two traced zoom half-bands concatenate on the velocity *factor*
+        axis (columns of the chirp DFT matrix), so one ``chirp_apply`` +
+        ``set_responses`` pass covers both halves of all four sub-arrays;
+        an absent half zeroes its response rows — identical to the old
+        per-half ``jnp.where(ok, mag, 0)`` since the masked range-mean is
+        linear.
+        """
+        _, _, (neg_bins, neg_ok), (pos_bins, pos_ok) = grid
+
+        def half_factors(lo, hi):
             # historical quirk: ZoomFFT built with fs*2 (ref :153-154);
             # the chirp Hann window folds into the zoom matrix
-            factors = mxu.zoom_dft_factors_dynamic(
+            return mxu.zoom_dft_factors_dynamic(
                 lo * vel_scale, hi * vel_scale, n=nv, m=nv, fs=vel_fs * 2.0,
                 window=np.hanning(nv),
             )
-            spec = mxu.dft_apply(data, factors, axis=1)
-            spec = mxu.dft_apply(spec, angle_factors, axis=2)
-            mag = mxu.cabs(spec)[..., valid_cols]
-            return jnp.where(ok, mag, 0.0)
 
-        neg = half(jnp.min(neg_bins) + 2 * vmax, jnp.max(neg_bins) + 2 * vmax,
-                   neg_ok)
-        pos = half(jnp.min(pos_bins), jnp.max(pos_bins), pos_ok)
-        mag = jnp.concatenate([neg, pos], axis=1)  # [range, 2nv, angle]
-        w = rmask[:, None, None]
-        return jnp.sum(mag * w, axis=0) / jnp.maximum(jnp.sum(rmask), 1.0)
+        ncc, nss = half_factors(jnp.min(neg_bins) + 2 * vmax,
+                                jnp.max(neg_bins) + 2 * vmax)
+        pcc, pss = half_factors(jnp.min(pos_bins), jnp.max(pos_bins))
+        cc = jnp.concatenate([ncc, pcc], axis=1)
+        ss = jnp.concatenate([nss, pss], axis=1)
+        row_scale = jnp.concatenate(
+            [jnp.broadcast_to(neg_ok.astype(jnp.float32), (nv,)),
+             jnp.broadcast_to(pos_ok.astype(jnp.float32), (nv,))]
+        )
+        chv = chirp_apply(rng_w, cc, ss)
+        return set_responses(chv, rmask, row_scale)
 
     def fit_vy(angles, vels, found, vx, key):
         """Standard / small-vx RANSAC vy fit (reference :346-506)."""
@@ -239,20 +273,19 @@ def build_velocity_pipeline(
         )
         bins_w = jax.lax.dynamic_slice(range_bins, (start,), (win_rows,))
         rmask = ((bins_w >= lo) & (bins_w <= hi)).astype(jnp.float32)
-        rng_factors_w = (
-            jax.lax.dynamic_slice_in_dim(rng_factors[0], start, win_rows, axis=1),
-            jax.lax.dynamic_slice_in_dim(rng_factors[1], start, win_rows, axis=1),
+        rc_w = jax.lax.dynamic_slice_in_dim(rng_factors[0], start, win_rows,
+                                            axis=1)
+        rs_w = jax.lax.dynamic_slice_in_dim(rng_factors[1], start, win_rows,
+                                            axis=1)
+        # windowed range DFT straight into [12, W, chirp] layout
+        rng_w = mxu.C2(
+            (jnp.einsum("csl,sw->cwl", cube.re, rc_w)
+             + jnp.einsum("csl,sw->cwl", cube.im, rs_w)),
+            (jnp.einsum("csl,sw->cwl", cube.im, rc_w)
+             - jnp.einsum("csl,sw->cwl", cube.re, rs_w)),
         )
-        rng_fft = mxu.dft_apply(cube, rng_factors_w, axis=-2)  # [rx, W, chirp]
-
-        az_resp = 0.5 * (
-            response(rng_fft, az_sets[0], az_angle_factors, rmask)
-            + response(rng_fft, az_sets[1], az_angle_factors, rmask)
-        )
-        el_resp = 0.5 * (
-            response(rng_fft, el_sets[0], el_angle_factors, rmask)
-            + response(rng_fft, el_sets[1], el_angle_factors, rmask)
-        )
+        chv = chirp_apply(rng_w, *chirp_factors)  # [12, W, nv]
+        az_resp, el_resp = set_responses(chv, rmask)
 
         def vx_from(az_r, el_r, bins, row_valid=None):
             az_v, az_found = zero_az_vel(az_r, bins, row_valid)
@@ -267,14 +300,7 @@ def build_velocity_pipeline(
 
         if enable_precise:
             grid = zoomed_grid(-vx)
-            az_resp = 0.5 * (
-                precise_response(rng_fft, az_sets[0], az_angle_factors, rmask, grid)
-                + precise_response(rng_fft, az_sets[1], az_angle_factors, rmask, grid)
-            )
-            el_resp = 0.5 * (
-                precise_response(rng_fft, el_sets[0], el_angle_factors, rmask, grid)
-                + precise_response(rng_fft, el_sets[1], el_angle_factors, rmask, grid)
-            )
+            az_resp, el_resp = precise_responses(rng_w, rmask, grid)
             zoom_bins, zoom_valid = grid[0], grid[1]
             vx = vx_from(az_resp, el_resp, zoom_bins, zoom_valid)
             peak_bins, peak_row_valid = zoom_bins, zoom_valid

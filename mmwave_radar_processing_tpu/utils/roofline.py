@@ -119,6 +119,84 @@ def analytic_cost(metric: str, cfg: RadarConfig, **kw) -> "CostModel | None":
     return None
 
 
+def measure_peaks(
+    *,
+    bw_mb: int = 256,
+    matmul_n: int = 4096,
+    iters: int = 10,
+    repeats: int = 3,
+) -> dict:
+    """Calibrated *achievable* peaks on the attached chip (GB/s, TFLOP/s).
+
+    The nominal datasheet peaks (:data:`DEFAULT_PEAK_HBM_GBS`,
+    :data:`DEFAULT_PEAK_F32_TFLOPS`) are upper bounds no real program
+    reaches; dividing by them understates utilization, and XLA
+    ``cost_analysis()`` bytes can exceed them outright (it bills
+    fusion-reused operands as HBM traffic).  This microbench measures what
+    the chip actually delivers through the same dispatch path the pipelines
+    use:
+
+    - **HBM bandwidth**: a streaming ``y = a*x + b`` over a ``bw_mb``-MB
+      float32 array (compulsory traffic = read + write = ``2 * bytes``),
+      dependent-chained so calls cannot overlap.
+    - **f32 matmul**: a dependent chain of ``[n, n] x [n, n]`` float32
+      matmuls (``2 n^3`` FLOPs each), the MXU's best case.
+
+    Timing uses the axon-correct fetch fence (``block_until_ready`` does not
+    block on that runtime): enqueue ``iters`` dependent calls, host-fetch one
+    element of the last result.  Best of ``repeats`` (tunnel runs vary ~20%).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def fence(x):
+        return np.asarray(jax.tree_util.tree_leaves(x)[-1].reshape(-1)[0])
+
+    def timed(fn, x):
+        x = fn(x)  # warmup: compile + execute once
+        fence(x)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                x = fn(x)
+            fence(x)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    n_elems = bw_mb * (1 << 20) // 4
+
+    @jax.jit
+    def stream(x):
+        return x * 1.000001 + 1e-7
+
+    x = jax.device_put(jnp.ones((n_elems,), jnp.float32))
+    dt_bw = timed(stream, x)
+    hbm_gbs = 2.0 * 4.0 * n_elems / dt_bw / 1e9
+
+    @jax.jit
+    def mm(a):
+        return (a @ a) * (1.0 / matmul_n)
+
+    a = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).standard_normal(
+            (matmul_n, matmul_n)), jnp.float32)
+    )
+    dt_mm = timed(mm, a)
+    tflops = 2.0 * matmul_n**3 / dt_mm / 1e12
+
+    return {
+        "measured_hbm_gbs": round(hbm_gbs, 1),
+        "measured_f32_tflops": round(tflops, 2),
+        "bw_mb": bw_mb,
+        "matmul_n": matmul_n,
+        "device": str(jax.devices()[0]),
+    }
+
+
 def classify_bound(
     tflops: float,
     gbs: float,
