@@ -438,6 +438,13 @@ def _roofline_fields(fn, bench_args, args, cfg, frames_per_s) -> dict:
             gbs / peaks["measured_hbm_gbs"], 4)
         fields["mfu_vs_measured"] = round(
             tflops / peaks["measured_f32_tflops"], 4)
+        # fixed per-program cost on this runtime (measured by the calibration
+        # fit): the share of each dispatch that no kernel work can reclaim
+        if "dispatch_overhead_ms" in peaks:
+            fields["dispatch_overhead_ms"] = peaks["dispatch_overhead_ms"]
+            fields["dispatch_overhead_share"] = round(
+                peaks["dispatch_overhead_ms"] / 1e3
+                / (args.batch / frames_per_s), 4)
     except (OSError, KeyError, ValueError):
         pass
     return fields

@@ -1,0 +1,111 @@
+"""Fused Doppler-azimuth response kernel: angle DFT + |.| + masked range-mean.
+
+The velocity pipeline needs, per frame, the four antenna-sub-array responses
+
+``resp[s, v, a] = (1/sum w) * sum_w w[w] * | sum_r u[ch(s,r), w, v] * F[s,r,a] |``
+
+(reference ``doppler_azimuth_resp.py:296-334``: zero-padded angle DFT of each
+4-antenna sub-array, magnitude, then the altitude-window mean over range
+rows).  In XLA this materializes the ``[set, W, vel, angle]`` complex spectrum
+to HBM twice (dot output + magnitude-reduce input) — measured ~19 ms of a
+35 ms batch-1024 dispatch on the chip.  The spectrum per frame is only
+~600 KB: this kernel keeps it entirely in VMEM.
+
+Key layout choices (see docs/design.md §8):
+
+- The angle contraction is K=4 — hostile to the 128x128 MXU (>30x padding
+  waste measured as ~11 ms/batch in a matmul formulation).  Instead the
+  kernel computes the spectrum as 16 *rank-1 VPU accumulations*: for each
+  (set, rx) pair, an ``[Av, 1] x [1, W*nv]`` broadcast multiply-add.  At
+  ~9 M VPU ops/frame this is compute-cheap and touches HBM only for the
+  ``[12, W*nv]`` chirp spectrum in and the ``[4, Av, nv]`` responses out.
+- Channels ride the *sublane* axis (12 -> 16) and the flattened
+  ``(range_row, vel)`` index rides lanes, so per-channel rows slice without
+  relayout; the response accumulates angle-major ``[Av, nv]`` and is
+  transposed to the pipeline's ``[nv, Av]`` outside the kernel (tiny).
+- The range-window weights are traced per frame; they enter through SMEM and
+  scale each ``mag[:, w*nv:(w+1)*nv]`` slab on the VPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(u_re_ref, u_im_ref, wgt_ref, fct_ref, fst_ref, out_ref, *,
+            set_idx, n_sets, n_rx, win_rows, nv):
+    for s in range(n_sets):
+        sp_re = None
+        sp_im = None
+        for r in range(n_rx):
+            ch = int(set_idx[s][r])
+            ur = u_re_ref[ch, :][None, :]  # [1, M]
+            ui = u_im_ref[ch, :][None, :]
+            fc = fct_ref[:, n_rx * s + r][:, None]  # [Av, 1]
+            fs = fst_ref[:, n_rx * s + r][:, None]
+            t_re = fc * ur + fs * ui
+            t_im = fc * ui - fs * ur
+            sp_re = t_re if sp_re is None else sp_re + t_re
+            sp_im = t_im if sp_im is None else sp_im + t_im
+        mag = jnp.sqrt(sp_re * sp_re + sp_im * sp_im)  # [Av, M]
+        acc = wgt_ref[0, 0] * mag[:, 0:nv]
+        for w in range(1, win_rows):
+            acc = acc + wgt_ref[0, w] * mag[:, w * nv:(w + 1) * nv]
+        out_ref[s] = acc
+
+
+@partial(jax.jit, static_argnames=("set_idx", "nv", "interpret"))
+def set_responses_pallas(
+    u_re: jax.Array,
+    u_im: jax.Array,
+    wgt: jax.Array,
+    fct: jax.Array,
+    fst: jax.Array,
+    *,
+    set_idx,
+    nv: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """All sub-array responses of one frame, spectrum never touching HBM.
+
+    Args:
+        u_re, u_im: ``[n_channels, W*nv]`` chirp-DFT'd range-window spectrum,
+            flattened ``(range_row, vel)`` on the minor axis.
+        wgt: ``[W]`` range-window weights (mask already divided by its sum —
+            the kernel computes a weighted sum, not a mean).
+        fct, fst: ``[Av, n_sets*n_rx]`` transposed angle DFT factors,
+            column ``s*n_rx + r`` = sub-array ``s``'s antenna ``r``
+            (cos / sin planes, ``M = C - jS`` convention of
+            :func:`ops.mxu.dft_factors`).
+        set_idx: static tuple-of-tuples: channel index per (set, rx).
+        nv: velocity bins per range row (minor-axis stride).
+
+    Returns:
+        ``[n_sets, Av, nv]`` float32 responses (angle-major; transpose
+        outside for the pipeline's ``[nv, Av]``).
+    """
+    n_sets, n_rx = len(set_idx), len(set_idx[0])
+    n_ch, m = u_re.shape
+    av = fct.shape[0]
+    win_rows = m // nv
+    kern = partial(_kernel, set_idx=set_idx, n_sets=n_sets, n_rx=n_rx,
+                   win_rows=win_rows, nv=nv)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_sets, av, nv), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(u_re, u_im, wgt.reshape(1, -1), fct, fst)

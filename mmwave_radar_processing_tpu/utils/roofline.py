@@ -121,7 +121,7 @@ def analytic_cost(metric: str, cfg: RadarConfig, **kw) -> "CostModel | None":
 
 def measure_peaks(
     *,
-    bw_mb: int = 256,
+    bw_mbs=(128, 512, 1024),
     matmul_n: int = 4096,
     iters: int = 10,
     repeats: int = 3,
@@ -136,9 +136,12 @@ def measure_peaks(
     the chip actually delivers through the same dispatch path the pipelines
     use:
 
-    - **HBM bandwidth**: a streaming ``y = a*x + b`` over a ``bw_mb``-MB
-      float32 array (compulsory traffic = read + write = ``2 * bytes``),
-      dependent-chained so calls cannot overlap.
+    - **HBM bandwidth**: a streaming ``y = a*x + b`` over float32 arrays of
+      each size in ``bw_mbs`` (compulsory traffic = read + write =
+      ``2 * bytes``), dependent-chained so calls cannot overlap; the best
+      rate across sizes wins (small arrays are dominated by per-dispatch
+      overhead — the per-size table is returned so that contamination is
+      visible, not hidden).
     - **f32 matmul**: a dependent chain of ``[n, n] x [n, n]`` float32
       matmuls (``2 n^3`` FLOPs each), the MXU's best case.
 
@@ -167,15 +170,27 @@ def measure_peaks(
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
-    n_elems = bw_mb * (1 << 20) // 4
-
     @jax.jit
     def stream(x):
         return x * 1.000001 + 1e-7
 
-    x = jax.device_put(jnp.ones((n_elems,), jnp.float32))
-    dt_bw = timed(stream, x)
-    hbm_gbs = 2.0 * 4.0 * n_elems / dt_bw / 1e9
+    bw_by_size, times, traffics = {}, [], []
+    for mb in bw_mbs:
+        n_elems = mb * (1 << 20) // 4
+        x = jax.device_put(jnp.ones((n_elems,), jnp.float32))
+        dt_bw = timed(stream, x)
+        traffic = 2.0 * 4.0 * n_elems
+        bw_by_size[int(mb)] = round(traffic / dt_bw / 1e9, 1)
+        times.append(dt_bw)
+        traffics.append(traffic)
+    # Measured curves show a large fixed per-dispatch cost on the tunneled
+    # runtime (~2.5-3 ms), so the apparent GB/s keeps climbing with size.
+    # Fit dt = overhead + bytes/BW: the slope is the *marginal* streaming
+    # bandwidth (the honest sustained rate), the intercept the per-dispatch
+    # overhead every timed program also pays.
+    slope, intercept = np.polyfit(np.asarray(traffics), np.asarray(times), 1)
+    hbm_gbs = 1.0 / slope / 1e9
+    dispatch_overhead_ms = max(0.0, intercept * 1e3)
 
     @jax.jit
     def mm(a):
@@ -191,7 +206,8 @@ def measure_peaks(
     return {
         "measured_hbm_gbs": round(hbm_gbs, 1),
         "measured_f32_tflops": round(tflops, 2),
-        "bw_mb": bw_mb,
+        "dispatch_overhead_ms": round(dispatch_overhead_ms, 3),
+        "hbm_gbs_by_size_mb": bw_by_size,
         "matmul_n": matmul_n,
         "device": str(jax.devices()[0]),
     }

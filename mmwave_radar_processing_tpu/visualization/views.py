@@ -175,6 +175,10 @@ class AltitudeView(RangeResponseView):
 class PointCloudView(BaseView):
     """Velocity-colored (x, y) scatter of the point cloud (ref ``point_cloud_view.py``)."""
 
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._colorbar = None
+
     def update_view(self, payload):
         self.ax.clear()
         pts = np.asarray(payload["data"]).reshape(-1, 4) if np.size(
@@ -183,7 +187,15 @@ class PointCloudView(BaseView):
         if pts.shape[0]:
             sc = self.ax.scatter(pts[:, 1], pts[:, 0], c=pts[:, 3], s=8,
                                  cmap="coolwarm")
-            plt.colorbar(sc, ax=self.ax, label="velocity (m/s)")
+            # cache the colorbar across redraws (like PointCloud3DView):
+            # a fresh plt.colorbar per frame stacks bars, shrinking the axes
+            # and leaking artists over a playback / movie export
+            if self._colorbar is None or self._colorbar.ax.figure is None:
+                self._colorbar = self.ax.figure.colorbar(
+                    sc, ax=self.ax, label="velocity (m/s)"
+                )
+            else:
+                self._colorbar.update_normal(sc)
         self.ax.set_xlabel("y (m)")
         self.ax.set_ylabel("x (m)")
         self.ax.set_title("Point Cloud")

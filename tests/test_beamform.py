@@ -92,6 +92,26 @@ def test_capon_matches_numpy_oracle(rng):
     np.testing.assert_allclose(got, oracle, rtol=1e-3, atol=1e-5)
 
 
+def test_capon_large_aperture_cholesky_branch(rng):
+    """n = 2A > 24 exercises the batched jnp.linalg.cholesky fallback.
+
+    ``capon_from_covariance`` switches from the unrolled Cholesky to
+    ``jnp.linalg.cholesky`` + ``cho_solve`` when the real embedding exceeds
+    24 (ops/beamform.py) — a 16-antenna aperture (n=32) pins that branch
+    against the same numpy oracle so it isn't dead-until-broken.
+    """
+    n_ant = 16  # 2A = 32 > 24
+    x = random_snapshots(rng, (3, n_ant, 50))
+    steering = bf.steering_ula(grids.phase_shift_bins(48), n_ant)
+    got = np.asarray(
+        bf.capon_from_covariance(
+            bf.spatial_covariance(mxu.from_complex(x)), steering, loading=1e-2
+        )
+    )
+    oracle = np_capon(x, steer_np(steering), 1e-2)
+    np.testing.assert_allclose(got, oracle, rtol=1e-3, atol=1e-5)
+
+
 @pytest.mark.parametrize("batch", [8, 13])  # multiple + non-multiple of tile
 def test_pallas_bartlett_matches_xla(rng, batch):
     from mmwave_radar_processing_tpu.ops.pallas.beamform import bartlett_power

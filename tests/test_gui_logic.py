@@ -183,6 +183,83 @@ def test_altitude_view(ax):
     assert marker and marker[-1].get_xdata()[0] == pytest.approx(1.25)
 
 
+def _artist_count(fig):
+    return len(fig.axes) + sum(
+        len(a.images) + len(a.lines) + len(a.collections) + len(a.texts)
+        for a in fig.axes
+    )
+
+
+@pytest.mark.parametrize("view_key", [
+    "range_angle", "micro_doppler", "doppler_azimuth", "range_doppler",
+    "range_response", "range_doppler_detector", "range_detector",
+    "altitude", "point_cloud", "point_cloud_3d",
+])
+def test_view_redraw_stability(view_key):
+    """100 redraws must not leak artists or shrink the plotting axes.
+
+    Playback and movie export call ``update_view`` once per frame on a live
+    view; anything created per frame without being cleared (extra colorbars,
+    stacked legends, orphan scatters) accumulates.  Regression test for the
+    PointCloudView per-frame ``plt.colorbar`` leak, generalized to every
+    registered view class.
+    """
+    from mmwave_radar_processing_tpu.visualization.views import VIEW_CLASSES
+
+    rng = np.random.default_rng(13)
+    fig, ax = plt.subplots()
+    try:
+        view = VIEW_CLASSES[view_key](ax=ax)
+
+        def payload(i):
+            two_d = rng.random((12, 18)) + 0.1
+            prof = rng.random(64) + 0.1
+            pts = np.column_stack([rng.random((20, 3)),
+                                   np.linspace(-1, 1, 20)])
+            return {
+                "range_angle": {"data": two_d,
+                                "range_bins": np.linspace(0, 5, 12),
+                                "angle_bins": np.linspace(-1, 1, 18)},
+                "micro_doppler": {"data": two_d,
+                                  "vel_bins": np.linspace(-5, 5, 12),
+                                  "time_bins": np.linspace(0, 2, 18)},
+                "doppler_azimuth": {"data": two_d,
+                                    "vel_bins": np.linspace(-5, 5, 12),
+                                    "valid_angle_bins": np.linspace(-1, 1, 18)},
+                "range_doppler": {"data": two_d,
+                                  "range_bins": np.linspace(0, 5, 12),
+                                  "vel_bins": np.linspace(-2, 2, 18)},
+                "range_response": {"data": prof,
+                                   "range_bins": np.linspace(0, 4, 64)},
+                "range_doppler_detector": {
+                    "data": np.array([[3, 4], [7, 10 + i % 3]]),
+                    "rng_dop_resp": two_d,
+                    "range_bins": np.linspace(0, 5, 12),
+                    "vel_bins": np.linspace(-2, 2, 18)},
+                "range_detector": {"data": np.array([10, 20 + i % 5]),
+                                   "range_resp": prof,
+                                   "thresholds": np.full(64, 0.5),
+                                   "range_bins": np.linspace(0, 4, 64)},
+                "altitude": {"data": np.array(1.0 + 0.01 * i),
+                             "coarse_fft_data": prof,
+                             "range_bins": np.linspace(0, 4, 64)},
+                "point_cloud": {"data": pts},
+                "point_cloud_3d": {"data": pts},
+            }[view_key]
+
+        for i in range(5):
+            view.set_data(payload(i))
+        fig_ = view.ax.figure
+        count5, pos5 = _artist_count(fig_), view.ax.get_position().bounds
+        for i in range(5, 100):
+            view.set_data(payload(i))
+        assert _artist_count(fig_) == count5, "artists leak across redraws"
+        assert view.ax.get_position().bounds == pytest.approx(pos5), (
+            "plot axes shrink across redraws (stacking colorbars?)")
+    finally:
+        plt.close("all")
+
+
 # --- panel caching / uniqueness / browse (ref test 12 + control panel) ------ #
 @pytest.fixture(scope="module")
 def shell(tmp_path_factory, flagship_config):

@@ -441,6 +441,81 @@ def test_strip_map_pipeline_matches_object_api(flagship_config, rng):
                                atol=2e-3 * ref_crop.max())
 
 
+def test_velocity_response_backends_agree(flagship_config):
+    """Pallas fused response kernel == XLA einsum chain on the full pipeline.
+
+    Exercises the kernel (interpret mode on CPU) end-to-end through
+    ``build_velocity_pipeline(response_backend="pallas")`` against the XLA
+    formulation on identical frames — the deterministic outputs (vx, R^2,
+    inlier fractions) must agree to float32 reassociation noise.
+    """
+    from mmwave_radar_processing_tpu.data import ground_scene, simulate_frame
+    from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
+        build_velocity_pipeline,
+    )
+
+    rng = np.random.default_rng(21)
+    raws = [
+        simulate_frame(flagship_config,
+                       ground_scene(flagship_config, 1.2, np.array([0.5, 0.1, 0.0]),
+                                    num_patches=48, rng=rng), rng)
+        for _ in range(2)
+    ]
+    raw = np.stack(raws)
+    re = np.real(raw).astype(np.float32)
+    im = np.imag(raw).astype(np.float32)
+    alts = np.full(2, 1.2, np.float32)
+
+    kw = dict(min_r2_threshold=0.2, min_inlier_percent=0.3)
+    out_x = build_velocity_pipeline(flagship_config, response_backend="xla",
+                                    **kw)(re, im, alts)
+    out_p = build_velocity_pipeline(flagship_config, response_backend="pallas",
+                                    **kw)(re, im, alts)
+    np.testing.assert_allclose(np.asarray(out_p.vx), np.asarray(out_x.vx),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p.velocity),
+                               np.asarray(out_x.velocity), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_p.az_r2),
+                               np.asarray(out_x.az_r2), rtol=1e-3, atol=1e-3)
+
+    # precise (zoom) path through the kernel as well
+    out_xp = build_velocity_pipeline(flagship_config, response_backend="xla",
+                                     enable_precise=True, **kw)(re, im, alts)
+    out_pp = build_velocity_pipeline(flagship_config, response_backend="pallas",
+                                     enable_precise=True, **kw)(re, im, alts)
+    np.testing.assert_allclose(np.asarray(out_pp.vx), np.asarray(out_xp.vx),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_doppler_az_kernel_matches_numpy():
+    """Unit oracle for ops.pallas.doppler_az against a numpy re-derivation."""
+    from mmwave_radar_processing_tpu.ops.pallas.doppler_az import (
+        set_responses_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    n_ch, w, nv, av = 12, 5, 16, 9
+    set_idx = ((0, 3, 4, 7), (1, 2, 5, 6), (10, 11, 6, 7), (9, 8, 5, 4))
+    u_re = rng.standard_normal((n_ch, w * nv)).astype(np.float32)
+    u_im = rng.standard_normal((n_ch, w * nv)).astype(np.float32)
+    wgt = rng.uniform(0, 1, w).astype(np.float32)
+    fct = rng.standard_normal((av, 16)).astype(np.float32)
+    fst = rng.standard_normal((av, 16)).astype(np.float32)
+    out = set_responses_pallas(u_re, u_im, wgt, fct, fst, set_idx=set_idx,
+                               nv=nv, interpret=True)
+
+    u3 = (u_re + 1j * u_im).reshape(n_ch, w, nv)
+    ref = np.zeros((4, av, nv), np.float32)
+    for s in range(4):
+        spec = np.zeros((av, w, nv), np.complex64)
+        for r in range(4):
+            f = fct[:, 4 * s + r] - 1j * fst[:, 4 * s + r]
+            # kernel convention: re' = fc*re + fs*im, im' = fc*im - fs*re
+            spec += f[:, None, None].conj() * u3[set_idx[s][r]].conj()
+        ref[s] = np.einsum("awv,w->av", np.abs(spec), wgt)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
 def test_full_pipeline_combines_products(flagship_config):
     from mmwave_radar_processing_tpu.data import ground_scene, simulate_frame
     from mmwave_radar_processing_tpu.parallel.full_pipeline import build_full_pipeline
