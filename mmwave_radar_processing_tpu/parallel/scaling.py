@@ -50,13 +50,28 @@ def measure_scaling(
     device_counts: Sequence[int] = (1, 2, 4, 8),
     per_device_batch: int = 64,
     iters: int = 5,
+    feed_frames_dir: str | None = None,
 ) -> Dict:
-    """Weak-scaling table for the three sharded pipelines.
+    """Weak-scaling table for the sharded pipelines.
 
     Returns ``{pipeline: {"devices": [...], "samples_per_s": [...],
-    "efficiency": [...]}}`` where efficiency is normalized per-device
-    throughput relative to 1 device.
+    "efficiency": [...], ...}}`` where efficiency is normalized per-device
+    throughput relative to 1 device.  Honesty fields per table:
+
+    - ``input_feed_included`` — the ``combined_with_feed`` rows time the
+      whole serving path *including* per-process local-shard loading
+      (native NPY loader -> ``jax.make_array_from_process_local_data``),
+      per SURVEY §5.8's multi-host input-feed mandate.
+    - ``collective_share`` — fraction of each collective-using pipeline's
+      step spent in its bare collective (measured separately at the same
+      payload size), so compute-vs-communication is a measurement, not an
+      assertion.
+    - ``core_oversubscribed`` — rows where the virtual device count exceeds
+      physical cores measure oversubscription, not interconnect; on real
+      multi-chip hardware no row is oversubscribed.
     """
+    import os as _os
+
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -74,18 +89,26 @@ def measure_scaling(
 
     avail = jax.devices()
     device_counts = [n for n in device_counts if n <= len(avail)]
+    physical_cores = _os.cpu_count() or 1
+    on_cpu = avail[0].platform == "cpu"
     rng = np.random.default_rng(0)
     results: Dict[str, Dict] = {}
+    durations: Dict = {}
 
-    def record(name, n, samples, dt):
+    def record(name, n, samples, dt, **extra):
         entry = results.setdefault(
-            name, {"devices": [], "samples_per_s": [], "efficiency": []}
+            name, {"devices": [], "samples_per_s": [], "efficiency": [],
+                   "core_oversubscribed": []}
         )
         sps = samples / dt
         entry["devices"].append(n)
         entry["samples_per_s"].append(round(sps, 1))
         base = entry["samples_per_s"][0] / entry["devices"][0]
         entry["efficiency"].append(round((sps / n) / base, 4))
+        entry["core_oversubscribed"].append(bool(on_cpu and n > physical_cores))
+        for k, v in extra.items():
+            entry.setdefault(k, []).append(v)
+        return dt
 
     # ---- combined serving pipeline, frame-DP ---------------------------- #
     shape1 = (per_device_batch, cfg.num_rx_antennas, cfg.num_adc_samples,
@@ -103,7 +126,48 @@ def measure_scaling(
             rng.standard_normal((b,) + shape1[1:]).astype(np.float32), sh)
         alts = jax.device_put(np.full(b, 1.2, np.float32), sh0)
         dt = _time_fn(combined, (raw_re, raw_im, alts), iters)
-        record("combined", n, b, dt)
+        record("combined", n, b, dt, input_feed_included=False)
+
+    # ---- combined pipeline WITH the per-process input feed ---------------- #
+    # Times the full serving path: native NPY loader (local shard only) ->
+    # jax.make_array_from_process_local_data -> sharded pipeline.  SURVEY
+    # §5.8's multi-host feed, exercised end-to-end.
+    import tempfile
+
+    from mmwave_radar_processing_tpu.parallel.input_feed import (
+        sharded_recording_feed,
+    )
+
+    frame_shape = shape1[1:]
+    with tempfile.TemporaryDirectory() as td:
+        uniq = []
+        for i in range(16):
+            arr = (rng.standard_normal(frame_shape)
+                   + 1j * rng.standard_normal(frame_shape)).astype(np.complex64)
+            p = f"{td}/frame_{i:03d}.npy"
+            np.save(p, arr)
+            uniq.append(p)
+        for n in device_counts:
+            mesh = make_mesh({"data": n}, avail[:n])
+            b = per_device_batch * n
+            n_batches = iters + 1
+            paths = [uniq[k % len(uniq)] for k in range(b * n_batches)]
+
+            def run_once():
+                out = None
+                for args in sharded_recording_feed(
+                        mesh, paths, frame_shape, global_batch=b):
+                    out = combined(*args)
+                fence(out)
+
+            run_once()  # warmup/compile
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_once()
+                times.append((time.perf_counter() - t0) / n_batches)
+            record("combined_with_feed", n, b, float(np.median(times)),
+                   input_feed_included=True)
 
     # ---- halo-exchange CFAR (ppermute per step) -------------------------- #
     rows_per_dev = 64
@@ -117,7 +181,8 @@ def measure_scaling(
         xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
         with mesh:
             dt = _time_fn(fn, (xs,), iters)
-        record("halo_cfar_2d", n, x.shape[0] * x.shape[1], dt)
+        durations[("halo_cfar_2d", n)] = record(
+            "halo_cfar_2d", n, x.shape[0] * x.shape[1], dt)
 
     # ---- bare collective microbenches ------------------------------------ #
     # per-collective timings at each device count, on the payload sizes the
@@ -143,9 +208,11 @@ def measure_scaling(
             mesh=mesh, in_specs=P("data"), out_specs=P()))
         xs = jax.device_put(halo, NamedSharding(mesh, P("data", None)))
         ps = jax.device_put(part, NamedSharding(mesh, P("data", None, None)))
-        record("ppermute_halo_rows", n, halo.size, _time_fn(pperm, (xs,), iters))
-        record("psum_beamform_partials", n, part.size,
-               _time_fn(psum, (ps,), iters))
+        durations[("ppermute_halo_rows", n)] = record(
+            "ppermute_halo_rows", n, halo.size, _time_fn(pperm, (xs,), iters))
+        durations[("psum_beamform_partials", n)] = record(
+            "psum_beamform_partials", n, part.size,
+            _time_fn(psum, (ps,), iters))
 
     # ---- snapshot-sharded Capon (psum of partial covariances) ------------ #
     n_bins, n_ant, snaps_per_dev = 64, 12, 32
@@ -161,6 +228,28 @@ def measure_scaling(
                 steering.re, steering.im)
         with mesh:
             dt = _time_fn(fn, args, iters)
-        record("capon_snapshot", n, n_bins * k, dt)
+        durations[("capon_snapshot", n)] = record("capon_snapshot", n,
+                                                  n_bins * k, dt)
 
+    # ---- compute-vs-communication: collective share per pipeline row ------ #
+    for pipe, coll in (("halo_cfar_2d", "ppermute_halo_rows"),
+                       ("capon_snapshot", "psum_beamform_partials")):
+        entry = results.get(pipe)
+        if not entry:
+            continue
+        shares = []
+        for n in entry["devices"]:
+            tp = durations.get((pipe, n))
+            tc = durations.get((coll, n))
+            shares.append(round(tc / tp, 4) if tp and tc else 0.0)
+        entry["collective_share"] = shares
+
+    results["meta"] = {
+        "physical_cores": physical_cores,
+        "platform": avail[0].platform,
+        "per_device_batch": per_device_batch,
+        "note": ("core_oversubscribed rows measure CPU-core contention, not "
+                 "interconnect; collective_share is the bare-collective time "
+                 "over the pipeline step at the same payload/device count"),
+    }
     return results

@@ -17,17 +17,30 @@ from typing import List, Optional
 
 
 def build_main_window(controller, view_keys: Optional[List[str]] = None,
-                      interval_ms: int = 50):
+                      interval_ms: int = 50, backend: str = "matplotlib"):
     """Construct (but do not show) the viewer MainWindow.
 
     Split from :func:`run_qt_viewer` so offscreen tests can instantiate the
     full widget tree without entering the event loop.
+
+    ``backend``: cell rendering tier — ``"matplotlib"`` (default, headless-
+    testable) or ``"pyqtgraph"`` (the reference's real-time tier: ImageItem
+    heatmaps with physical extents + OpenGL point cloud,
+    :mod:`visualization.pyqtgraph_views`); requires the ``pyqtgraph``
+    package.
     """
     from PyQt6 import QtCore, QtWidgets
     from matplotlib.backends.backend_qtagg import FigureCanvasQTAgg
     from matplotlib.figure import Figure
 
     from mmwave_radar_processing_tpu.visualization.shell_logic import ShellLogic
+
+    if backend == "pyqtgraph":
+        from mmwave_radar_processing_tpu.visualization.pyqtgraph_views import (
+            get_pg_view_classes,
+        )
+
+        pg_view_classes = get_pg_view_classes()
 
     class MainWindow(QtWidgets.QMainWindow):
         def __init__(self):
@@ -63,10 +76,13 @@ def build_main_window(controller, view_keys: Optional[List[str]] = None,
             layout.addLayout(controls)
 
             # --- 2x2 per-cell view grid -------------------------------- #
+            self.backend = backend
             grid = QtWidgets.QGridLayout()
             self.cell_combos: List[QtWidgets.QComboBox] = []
             self.cell_figs: List[Figure] = []
             self.cell_canvases: List[FigureCanvasQTAgg] = []
+            self.cell_boxes: List[QtWidgets.QVBoxLayout] = []
+            self.cell_widgets: List[Optional[QtWidgets.QWidget]] = []
             for cell in range(self.logic.num_cells):
                 box = QtWidgets.QVBoxLayout()
                 combo = QtWidgets.QComboBox()
@@ -76,21 +92,29 @@ def build_main_window(controller, view_keys: Optional[List[str]] = None,
                     lambda _idx, c=cell: self.on_combo_changed(c)
                 )
                 box.addWidget(combo)
-                fig = Figure(figsize=(5, 4))
-                canvas = FigureCanvasQTAgg(fig)
-                box.addWidget(canvas)
+                if backend == "pyqtgraph":
+                    self.cell_widgets.append(None)
+                else:
+                    fig = Figure(figsize=(5, 4))
+                    canvas = FigureCanvasQTAgg(fig)
+                    box.addWidget(canvas)
+                    self.cell_figs.append(fig)
+                    self.cell_canvases.append(canvas)
                 cellw = QtWidgets.QWidget()
                 cellw.setLayout(box)
                 grid.addWidget(cellw, cell // 2, cell % 2)
                 self.cell_combos.append(combo)
-                self.cell_figs.append(fig)
-                self.cell_canvases.append(canvas)
+                self.cell_boxes.append(box)
             layout.addLayout(grid)
             self.setCentralWidget(central)
 
-            self.logic.set_render_callback(
-                lambda cell: self.cell_canvases[cell].draw_idle()
-            )
+            if backend == "pyqtgraph":
+                # ImageItem/GL items repaint on setData; no canvas to drive
+                self.logic.set_render_callback(lambda cell: None)
+            else:
+                self.logic.set_render_callback(
+                    lambda cell: self.cell_canvases[cell].draw_idle()
+                )
             for cell, key in enumerate(self.logic.panel.assignments):
                 self._sync_combo(cell, key)
                 self._rebuild_cell_view(cell, key)
@@ -109,6 +133,21 @@ def build_main_window(controller, view_keys: Optional[List[str]] = None,
             combo.blockSignals(False)
 
         def _rebuild_cell_view(self, cell: int, key: Optional[str]):
+            if self.backend == "pyqtgraph":
+                old = self.cell_widgets[cell]
+                if old is not None:
+                    self.cell_boxes[cell].removeWidget(old)
+                    old.deleteLater()
+                    self.cell_widgets[cell] = None
+                if key is None:
+                    self.logic.bind_cell_view(cell, None)
+                else:
+                    view = pg_view_classes[key](
+                        db_mode=self.db_box.isChecked())
+                    self.cell_boxes[cell].addWidget(view)
+                    self.cell_widgets[cell] = view
+                    self.logic.bind_cell_view(cell, view)
+                return
             fig = self.cell_figs[cell]
             fig.clear()
             if key is None:
@@ -158,7 +197,8 @@ def build_main_window(controller, view_keys: Optional[List[str]] = None,
                 view = self.logic._views.get(cell)
                 if view is not None:
                     view.set_db_mode(enabled)
-                    self.cell_canvases[cell].draw_idle()
+                    if self.backend != "pyqtgraph":
+                        self.cell_canvases[cell].draw_idle()
 
         # browse dialogs (ref control_panel.py:110-142) ------------------- #
         def browse_dataset(self):
@@ -201,7 +241,7 @@ def build_main_window(controller, view_keys: Optional[List[str]] = None,
 
 
 def run_qt_viewer(controller, view_keys: Optional[List[str]] = None,
-                  interval_ms: int = 50):
+                  interval_ms: int = 50, backend: str = "matplotlib"):
     """Open the viewer window and start the Qt event loop.
 
     Playback uses a ``QTimer`` at ``interval_ms`` (the reference's 50 ms /
@@ -210,7 +250,7 @@ def run_qt_viewer(controller, view_keys: Optional[List[str]] = None,
     from PyQt6 import QtWidgets
 
     app = QtWidgets.QApplication.instance() or QtWidgets.QApplication([])
-    win = build_main_window(controller, view_keys, interval_ms)
+    win = build_main_window(controller, view_keys, interval_ms, backend)
     win.resize(1200, 900)
     win.show()
     app.exec()

@@ -183,6 +183,28 @@ def test_altitude_view(ax):
     assert marker and marker[-1].get_xdata()[0] == pytest.approx(1.25)
 
 
+def test_pyqtgraph_backend_degrades_gracefully():
+    """The optional pyqtgraph tier: clean availability probe + ImportError.
+
+    This container ships no Qt binding, so the module must (a) import
+    without pyqtgraph, (b) report unavailability, and (c) raise ImportError
+    from the registry builder rather than at package import time.  (The view
+    classes themselves are exercised on Qt-equipped machines via
+    scripts/verify_gui_logic.py --backend pyqtgraph.)
+    """
+    from mmwave_radar_processing_tpu.visualization import pyqtgraph_views
+
+    if pyqtgraph_views.pyqtgraph_available():
+        classes = pyqtgraph_views.get_pg_view_classes()
+        from mmwave_radar_processing_tpu.visualization.views import VIEW_CLASSES
+
+        assert set(classes) >= set(VIEW_CLASSES) - {
+            "sequential_detector", "ground_detector"}
+    else:
+        with pytest.raises(ImportError):
+            pyqtgraph_views.get_pg_view_classes()
+
+
 def _artist_count(fig):
     return len(fig.axes) + sum(
         len(a.images) + len(a.lines) + len(a.collections) + len(a.texts)

@@ -243,12 +243,68 @@ def test_measure_scaling_structure(flagship_config):
     table = measure_scaling(
         flagship_config, device_counts=(1, 2), per_device_batch=1, iters=1
     )
-    for name in ("combined", "halo_cfar_2d", "capon_snapshot",
-                 "ppermute_halo_rows", "psum_beamform_partials"):
+    for name in ("combined", "combined_with_feed", "halo_cfar_2d",
+                 "capon_snapshot", "ppermute_halo_rows",
+                 "psum_beamform_partials"):
         assert name in table, name
         entry = table[name]
         assert len(entry["devices"]) == len(entry["samples_per_s"])
         assert all(s > 0 for s in entry["samples_per_s"])
+        assert len(entry["core_oversubscribed"]) == len(entry["devices"])
     # collectives only exist at n >= 2
     assert table["ppermute_halo_rows"]["devices"] == [2]
     assert table["combined"]["devices"] == [1, 2]
+    # honesty fields: feed-inclusive rows + measured collective shares
+    assert table["combined_with_feed"]["input_feed_included"] == [True, True]
+    assert table["combined"]["input_feed_included"] == [False, False]
+    for pipe in ("halo_cfar_2d", "capon_snapshot"):
+        shares = table[pipe]["collective_share"]
+        assert len(shares) == len(table[pipe]["devices"])
+        assert shares[0] == 0.0  # no collective at n=1
+        assert 0.0 < shares[-1] < 1.5  # measured, sane
+    assert table["meta"]["physical_cores"] >= 1
+
+
+def test_input_feed_assembles_global_batch(flagship_config, tmp_path):
+    """Per-process local-shard feed == device_put of the full batch.
+
+    Writes complex NPY frames, streams them through
+    ``sharded_recording_feed`` (native loader + make_array_from_process_local
+    _data) on a 4-device frame-DP mesh, and checks values, sharding, and
+    batch order against a straight host load.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mmwave_radar_processing_tpu.parallel.input_feed import (
+        process_local_frame_slice,
+        sharded_recording_feed,
+    )
+    from mmwave_radar_processing_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual multi-device mesh")
+    mesh = make_mesh({"data": 4}, jax.devices()[:4])
+    shape = (2, 8, 12)
+    rng = np.random.default_rng(5)
+    frames, paths = [], []
+    for i in range(16):
+        arr = (rng.standard_normal(shape)
+               + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        p = tmp_path / f"f{i:02d}.npy"
+        np.save(p, arr)
+        frames.append(arr)
+        paths.append(str(p))
+
+    # single process on this mesh: the local slice is the whole batch
+    assert process_local_frame_slice(mesh, 8) == slice(0, 8)
+
+    batches = list(sharded_recording_feed(mesh, paths, shape, global_batch=8,
+                                          altitude=0.7))
+    assert len(batches) == 2
+    for b, (re, im, alt) in enumerate(batches):
+        want = np.stack(frames[b * 8:(b + 1) * 8])
+        np.testing.assert_array_equal(np.asarray(re), np.real(want))
+        np.testing.assert_array_equal(np.asarray(im), np.imag(want))
+        np.testing.assert_allclose(np.asarray(alt), 0.7)
+        assert re.sharding.is_equivalent_to(
+            NamedSharding(mesh, P("data")), re.ndim)
