@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmwave_radar_processing_tpu.config import RadarConfig, grids
+from mmwave_radar_processing_tpu.ops import mxu, windows
 from mmwave_radar_processing_tpu.processors.base import Processor
 from mmwave_radar_processing_tpu.processors.detection import (
     Detections,
@@ -67,6 +68,51 @@ def aoa_angles(
     return angle_bins[jnp.argmax(jnp.abs(spec), axis=1)]
 
 
+def capon_aoa_angles(
+    rng_slow: "mxu.C2",
+    antenna_idxs: np.ndarray,
+    range_idx: jax.Array,
+    angle_bins: jax.Array,
+    steering: "mxu.C2",
+    *,
+    loading: float = 1e-2,
+) -> jax.Array:
+    """Per-detection angle via Capon/MVDR on the detection's range row.
+
+    The FFT AoA (:func:`aoa_angles`) uses the single Doppler-cell snapshot —
+    its resolution is the 4-element Rayleigh beamwidth.  This estimator
+    instead forms the *slow-time* covariance of the detection's range row
+    (chirps as snapshots — the same model as
+    :class:`~mmwave_radar_processing_tpu.processors.beamforming.CaponBeamformerProcessor`)
+    and takes the argmax of the loaded MVDR spectrum: moving targets
+    decorrelate across chirps, so two sources inside one beamwidth that the
+    FFT path merges into a single biased angle resolve into separate lobes
+    (pinned numerically in ``tests/test_beamform.py::
+    test_capon_resolves_what_bartlett_cannot``).
+
+    Args:
+        rng_slow: ``[rx, range, chirp]`` split-complex range-DFT'd cube
+            (windowed range transform only — no Doppler transform).
+        antenna_idxs: (A,) static antenna subset.
+        range_idx: (K,) detection range rows (padded entries arbitrary).
+        steering: ``(A, M)`` split-complex steering matrix on the angle grid.
+
+    Returns:
+        (K,) angles in radians.
+    """
+    from mmwave_radar_processing_tpu.ops import beamform as bf
+
+    sub_re = rng_slow.re[antenna_idxs]  # (A, R, C)
+    sub_im = rng_slow.im[antenna_idxs]
+    snaps = mxu.C2(
+        jnp.moveaxis(sub_re[:, range_idx], 0, 1),  # (K, A, C)
+        jnp.moveaxis(sub_im[:, range_idx], 0, 1),
+    )
+    r = bf.spatial_covariance(snaps)  # (K, A, A)
+    p = bf.capon_from_covariance(r, steering, loading=loading)  # (K, M)
+    return angle_bins[jnp.argmax(p, axis=1)]
+
+
 @jax.jit
 def spherical_to_cartesian_flu(
     ranges: jax.Array, az: jax.Array, el: jax.Array, vel: jax.Array
@@ -91,9 +137,20 @@ class PointCloudGenerator(Processor):
         shift_az_resp: bool = True,
         shift_el_resp: bool = False,
         num_angle_bins: int = 64,
+        aoa_method: str = "fft",
+        diagonal_loading: float = 1e-2,
         **kwargs,
     ):
+        """``aoa_method``: per-detection angle estimator — ``"fft"`` (the
+        reference's zero-padded snapshot FFT, :143-214) or ``"capon"``
+        (slow-time-covariance MVDR at the detection's range row — super-
+        resolution beyond the 4-element beamwidth; see
+        :func:`capon_aoa_angles`)."""
         super().__init__(config)
+        if aoa_method not in ("fft", "capon"):
+            raise ValueError(f"unknown aoa_method: {aoa_method!r}")
+        self.aoa_method = aoa_method
+        self.diagonal_loading = diagonal_loading
         self.az_antenna_idxs = np.asarray(az_antenna_idxs if az_antenna_idxs is not None else [], int)
         self.el_antenna_idxs = np.asarray(el_antenna_idxs if el_antenna_idxs is not None else [], int)
         self.shift_az_resp = shift_az_resp
@@ -101,6 +158,18 @@ class PointCloudGenerator(Processor):
         self.num_angle_bins = num_angle_bins
         self.phase_shifts = grids.phase_shift_bins(num_angle_bins)
         self.angle_bins = grids.angle_bins(num_angle_bins)
+
+        if aoa_method == "capon":
+            from mmwave_radar_processing_tpu.ops import beamform as bf
+
+            ns = config.num_adc_samples
+            self._rng_factors = mxu.dft_factors(ns, window=windows.hanning(ns))
+            self._az_steering = bf.steering_ula(
+                grids.phase_shift_bins(num_angle_bins),
+                len(self.az_antenna_idxs) or 1)
+            self._el_steering = bf.steering_ula(
+                grids.phase_shift_bins(num_angle_bins),
+                len(self.el_antenna_idxs) or 1)
 
         registry = get_range_doppler_detector_registry()
         if detector_type not in registry:
@@ -131,6 +200,21 @@ class PointCloudGenerator(Processor):
             el = jnp.zeros(dets.range_idx.shape, jnp.float32)
         return az, el
 
+    def _capon_angles_for_detections(self, rng_slow: mxu.C2, dets: Detections):
+        """(az, el) via MVDR on each detection's range row (chirp snapshots)."""
+        ab = jnp.asarray(self.angle_bins)
+        az = (capon_aoa_angles(rng_slow, self.az_antenna_idxs, dets.range_idx,
+                               ab, self._az_steering,
+                               loading=self.diagonal_loading)
+              if self.az_antenna_idxs.size
+              else jnp.zeros(dets.range_idx.shape, jnp.float32))
+        el = (capon_aoa_angles(rng_slow, self.el_antenna_idxs, dets.range_idx,
+                               ab, self._el_steering,
+                               loading=self.diagonal_loading)
+              if self.el_antenna_idxs.size
+              else jnp.zeros(dets.range_idx.shape, jnp.float32))
+        return az, el
+
     def point_cloud(self, adc_cube: jax.Array, **kwargs) -> PointCloud:
         """Pure device pipeline: cube -> padded point cloud (no host syncs)."""
         from mmwave_radar_processing_tpu.processors.range_doppler import (
@@ -139,7 +223,12 @@ class PointCloudGenerator(Processor):
 
         raw = range_doppler_map(adc_cube)
         dets = self.detector.detections(adc_cube, rng_dop_raw=raw, **kwargs)
-        az, el = self.angles_for_detections(raw, dets)
+        if self.aoa_method == "capon":
+            rng_slow = mxu.dft_apply(mxu.from_complex(adc_cube),
+                                     self._rng_factors, axis=-2)
+            az, el = self._capon_angles_for_detections(rng_slow, dets)
+        else:
+            az, el = self.angles_for_detections(raw, dets)
         ranges = jnp.asarray(self.detector.range_bins)[dets.range_idx]
         vels = jnp.asarray(self.detector.vel_bins)[dets.vel_idx]
         pts = spherical_to_cartesian_flu(ranges, az, el, vels)
