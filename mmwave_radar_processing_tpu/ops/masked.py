@@ -51,15 +51,32 @@ def mask_to_indices(mask: jax.Array, capacity: int):
     return indices, valid, count
 
 
-@partial(jax.jit, static_argnames=("capacity",))
-def mask_to_indices_2d(mask: jax.Array, capacity: int):
+@partial(jax.jit, static_argnames=("capacity", "interior"))
+def mask_to_indices_2d(mask: jax.Array, capacity: int, *, interior=None):
     """Row-major (row, col) indices of True entries of a 2D boolean mask.
 
     Returns ``(rows, cols, valid, count)`` with the same padding semantics as
     :func:`mask_to_indices`.  Row-major order matches ``np.where`` and hence
     the reference's ``list(zip(*np.where(mask)))`` detection ordering
     (``detectors/base.py:229-230``).
+
+    ``interior``: optional static ``(edge_rows, edge_cols)``.  When given,
+    the caller guarantees every True entry lies inside
+    ``mask[er:-er, ed:-ed]`` (CFAR detection maps pad their edges False by
+    construction — ``ops/cfar.py`` ``os_2d_detect``), and the min-k
+    compaction runs on that interior slab only (~30% fewer keys on the
+    flagship 63x70 map with (8, 7) edges, ~0.5 ms of a 10 ms batch-1024
+    dispatch) with indices mapped back to full-map coordinates.  Results are
+    identical because interior row-major order is full-map row-major order
+    restricted to the interior.
     """
+    if interior is not None and any(interior):
+        er, ed = interior
+        r, c = mask.shape
+        inner = mask[er : r - er, ed : c - ed]
+        ri, ci, valid, count = mask_to_indices_2d(inner, capacity)
+        return (jnp.where(valid, ri + er, 0), jnp.where(valid, ci + ed, 0),
+                valid, count)
     r, c = mask.shape
     flat_idx, valid, count = mask_to_indices(mask.reshape(-1), capacity)
     return flat_idx // c, flat_idx % c, valid, count

@@ -208,6 +208,86 @@ def aoa_peak_angles(vals: C2, pos, factors, angle_bins: jax.Array) -> jax.Array:
     return angle_bins[jnp.argmax(cabs2(spec), axis=1)]
 
 
+def range_dft_channels(
+    raw: C2, channels, rng_factors, *, num_rx: int, cfgs_per_loop: int
+) -> C2:
+    """Virtual-array reformat fused into the windowed range DFT.
+
+    The TDM chirp order is ``chirp = loop*cfgs_per_loop + cfg`` and virtual
+    channel ``v = cfg*num_rx + rx`` (``processors/virtual_array.py:26-33``),
+    so selecting a virtual channel of the reformatted cube is a pure
+    reindexing of the raw cube — and the range DFT that always follows can
+    contract the raw samples directly.  This folds the channel-subset
+    extraction (``reformat_channels``) into the DFT matmul itself: the raw
+    cube is read once by the contraction and no channel-subset intermediate
+    is ever materialized (measured ~0.9 ms of a 12 ms batch-1024 dispatch on
+    the chip for the 7-channel AoA union).
+
+    Args:
+        raw: ``(rx, ns, loops*cfgs_per_loop)`` split-complex raw ADC cube.
+        channels: static virtual channel indices to produce.
+        rng_factors: ``(C, S)`` range DFT factors from :func:`dft_factors`
+            (shape ``(ns, n_range_out)`` — pass column-sliced factors to
+            compute a range-bin subset only).
+
+    Returns:
+        ``C2`` of shape ``(len(channels), n_range_out, loops)`` — equal to
+        ``dft_apply(reformat(raw)[channels], rng_factors, axis=-2)``.
+    """
+    rc, rs = rng_factors
+    ns = raw.re.shape[-2]
+    loops = raw.re.shape[-1] // cfgs_per_loop
+    r4_re = raw.re[:num_rx].reshape(num_rx, ns, loops, cfgs_per_loop)
+    r4_im = raw.im[:num_rx].reshape(num_rx, ns, loops, cfgs_per_loop)
+    sel_re = jnp.stack(
+        [r4_re[int(v) % num_rx, :, :, int(v) // num_rx] for v in channels]
+    )  # (A, ns, loops)
+    sel_im = jnp.stack(
+        [r4_im[int(v) % num_rx, :, :, int(v) // num_rx] for v in channels]
+    )
+    out_re = (jnp.einsum("asl,sw->awl", sel_re, rc)
+              + jnp.einsum("asl,sw->awl", sel_im, rs))
+    out_im = (jnp.einsum("asl,sw->awl", sel_im, rc)
+              - jnp.einsum("asl,sw->awl", sel_re, rs))
+    return C2(out_re, out_im)
+
+
+def rd_values_from_range_dft(
+    R: C2, dop_factors, r_idx: jax.Array, v_idx: jax.Array
+) -> C2:
+    """Per-detection RD values from an already range-transformed cube.
+
+    Same result as :func:`rd_values_at` but starting from
+    ``R = range-DFT(cube)`` (e.g. the :func:`range_dft_channels` output that
+    the CFAR map shares): the range-bin selection becomes a *real* one-hot
+    contraction (half the matmul work of the bilinear form, whose range
+    factor columns are complex), and the Doppler factor columns are selected
+    exactly as in :func:`rd_values_at`.  FP-identical to the bilinear form:
+    selecting output columns of a DFT equals selecting factor-matrix columns.
+
+    Args:
+        R: ``(A, W, L)`` split-complex range-DFT'd cube (range bins on W).
+        dop_factors: ``(C, S)`` Doppler factors, shape ``(L, n_vel)``.
+        r_idx, v_idx: ``(K,)`` int range/Doppler bin indices.
+
+    Returns:
+        ``C2`` of shape ``(A, K)``.
+    """
+    dc, ds = dop_factors
+    W, L = R.re.shape[-2], R.re.shape[-1]
+    oh_r = (r_idx[None, :] == jnp.arange(W)[:, None]).astype(jnp.float32)
+    oh_v = (v_idx[None, :] == jnp.arange(dc.shape[1])[:, None]).astype(
+        jnp.float32)
+    t_c, t_s = dc @ oh_v, ds @ oh_v  # (L, K)
+    u_re = jnp.einsum("awl,wk->alk", R.re, oh_r)
+    u_im = jnp.einsum("awl,wk->alk", R.im, oh_r)
+    val_re = (jnp.einsum("alk,lk->ak", u_re, t_c)
+              + jnp.einsum("alk,lk->ak", u_im, t_s))
+    val_im = (jnp.einsum("alk,lk->ak", u_im, t_c)
+              - jnp.einsum("alk,lk->ak", u_re, t_s))
+    return C2(val_re, val_im)
+
+
 def rd_values_at(
     cube: C2, rng_factors, dop_factors, r_idx: jax.Array, v_idx: jax.Array
 ) -> C2:

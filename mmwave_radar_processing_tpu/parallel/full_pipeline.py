@@ -25,9 +25,6 @@ from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
 from mmwave_radar_processing_tpu.processors.point_cloud import (
     spherical_to_cartesian_flu,
 )
-from mmwave_radar_processing_tpu.processors.virtual_array import (
-    reformat_channels,
-)
 
 
 def build_full_pipeline(
@@ -66,28 +63,37 @@ def build_full_pipeline(
 
     vel_fn_single = build_velocity_pipeline(cfg, **(velocity_kwargs or {}))
 
-    union_idx, az_pos, el_pos, needed = mxu.aoa_union_layout(az_idx, el_idx)
+    union_idx, az_pos, el_pos, _ = mxu.aoa_union_layout(az_idx, el_idx)
+    if union_idx.size and 0 in union_idx:
+        chans = tuple(int(v) for v in union_idx)
+        ch0_pos, aoa_start = int(np.searchsorted(union_idx, 0)), 0
+    else:
+        chans = (0,) + tuple(int(v) for v in union_idx)
+        ch0_pos, aoa_start = 0, 1
+    edge_r = cfar_params["num_train"][0] + cfar_params["num_guard"][0]
+    edge_d = cfar_params["num_train"][1] + cfar_params["num_guard"][1]
+    interior = ((edge_r, edge_d)
+                if ns - 2 * edge_r > 0 and loops - 2 * edge_d > 0 else None)
 
     def point_cloud_frame(raw_re, raw_im):
-        # only ch0 + the AoA union are touched: strided raw slices, no full
-        # virtual-cube materialization (reformat_channels docstring)
-        sub_all = mxu.C2(
-            reformat_channels(raw_re, channels=needed, num_rx=num_rx,
-                              cfgs_per_loop=cpl),
-            reformat_channels(raw_im, channels=needed, num_rx=num_rx,
-                              cfgs_per_loop=cpl),
+        # reformat folded into the range DFT; one shared R feeds the CFAR
+        # map and the per-detection AoA values (see
+        # parallel/pipeline.py dataflow notes — same round-3 rework)
+        R = mxu.range_dft_channels(
+            mxu.C2(raw_re, raw_im), chans, rng_factors,
+            num_rx=num_rx, cfgs_per_loop=cpl,
         )
-        # CFAR on antenna 0 only; per-detection values as bilinear DFT forms
-        # (mxu.rd_values_at) — no multi-channel RD materialization
-        rd0 = mxu.range_doppler_map_mxu(
-            mxu.C2(sub_all.re[0], sub_all.im[0]), rng_factors, dop_factors
+        rd0 = mxu.dft_apply(
+            mxu.C2(R.re[ch0_pos], R.im[ch0_pos]), dop_factors, axis=-1
         )
         mag = mxu.cabs(rd0)
         det = cfar_ops.os_2d_detect(mag, **cfar_params)
-        r_i, v_i, valid, count = masked.mask_to_indices_2d(det, max_dets)
+        r_i, v_i, valid, count = masked.mask_to_indices_2d(
+            det, max_dets, interior=interior
+        )
         if union_idx.size:
-            sub = mxu.C2(sub_all.re[1:], sub_all.im[1:])
-            vals = mxu.rd_values_at(sub, rng_factors, dop_factors, r_i, v_i)
+            sub = mxu.C2(R.re[aoa_start:], R.im[aoa_start:])
+            vals = mxu.rd_values_from_range_dft(sub, dop_factors, r_i, v_i)
         az = (
             mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins)
             if az_idx.size else jnp.zeros(r_i.shape, jnp.float32)

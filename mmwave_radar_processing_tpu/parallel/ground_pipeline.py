@@ -27,9 +27,6 @@ from mmwave_radar_processing_tpu.ops import peaks as peaks_ops
 from mmwave_radar_processing_tpu.processors.point_cloud import (
     spherical_to_cartesian_flu,
 )
-from mmwave_radar_processing_tpu.processors.virtual_array import (
-    reformat_channels,
-)
 
 
 class GroundPipelineOut(NamedTuple):
@@ -65,7 +62,17 @@ def build_ground_point_cloud_pipeline(
     num_rx, cpl = cfg.num_rx_antennas, cfg.chirp_cfgs_per_loop
     az_idx = np.asarray(az_antenna_idxs, int)
     el_idx = np.asarray(el_antenna_idxs, int)
-    union_idx, az_pos, el_pos, needed = mxu.aoa_union_layout(az_idx, el_idx)
+    union_idx, az_pos, el_pos, _ = mxu.aoa_union_layout(az_idx, el_idx)
+    if union_idx.size and 0 in union_idx:
+        chans = tuple(int(v) for v in union_idx)
+        ch0_pos, aoa_start = int(np.searchsorted(union_idx, 0)), 0
+    else:
+        chans = (0,) + tuple(int(v) for v in union_idx)
+        ch0_pos, aoa_start = 0, 1
+    # 1D CFAR edges along Doppler are False by construction -> the
+    # compaction scans interior columns only (edge 16 of 70 per side here)
+    edge_d = int(vel_cfar_params["num_train"]) + int(vel_cfar_params["num_guard"])
+    interior = (0, edge_d) if loops - 2 * edge_d > 0 else None
     angle_bins = jnp.asarray(grids.angle_bins(num_angle_bins))
     plain_bins = jnp.asarray(grids.range_bins(cfg, variant="plain"))
     eps_bins = jnp.asarray(grids.range_bins(cfg, variant="eps"))
@@ -142,20 +149,23 @@ def build_ground_point_cloud_pipeline(
         scan now emits ``corrected[T]`` and this runs under ``vmap``.
         """
         if reformat_input:
-            sub_all = mxu.C2(
-                reformat_channels(raw_re, channels=needed, num_rx=num_rx,
-                                  cfgs_per_loop=cpl),
-                reformat_channels(raw_im, channels=needed, num_rx=num_rx,
-                                  cfgs_per_loop=cpl),
+            # reformat folded into the range DFT; one shared R feeds the
+            # CFAR map and the per-detection AoA values (see
+            # parallel/pipeline.py dataflow notes — same round-3 rework)
+            R = mxu.range_dft_channels(
+                mxu.C2(raw_re, raw_im), chans, rng_factors,
+                num_rx=num_rx, cfgs_per_loop=cpl,
             )
         else:
-            sub_all = mxu.C2(raw_re[jnp.asarray(needed)],
-                             raw_im[jnp.asarray(needed)])
+            sel = mxu.C2(raw_re[jnp.asarray(chans)],
+                         raw_im[jnp.asarray(chans)])
+            R = mxu.dft_apply(sel, rng_factors, axis=-2)
 
-        # CFAR on antenna 0 only; per-detection values as bilinear DFT forms
-        # (mxu.rd_values_at) — no multi-channel RD materialization
-        rd0 = mxu.range_doppler_map_mxu(
-            mxu.C2(sub_all.re[0], sub_all.im[0]), rng_factors, dop_factors
+        # CFAR on antenna 0 only; the other channels' RD responses are never
+        # materialized — per-detection values come from one-hot contractions
+        # of the shared R
+        rd0 = mxu.dft_apply(
+            mxu.C2(R.re[ch0_pos], R.im[ch0_pos]), dop_factors, axis=-1
         )
         mag = mxu.cabs(rd0)
 
@@ -175,11 +185,13 @@ def build_ground_point_cloud_pipeline(
             alpha=float(vel_cfar_params["alpha"]),
         )
         det_mask = row_gate[:, None] & vel_det
-        r_i, v_i, valid, count = masked.mask_to_indices_2d(det_mask, max_dets)
+        r_i, v_i, valid, count = masked.mask_to_indices_2d(
+            det_mask, max_dets, interior=interior
+        )
 
         if union_idx.size:
-            sub = mxu.C2(sub_all.re[1:], sub_all.im[1:])
-            vals = mxu.rd_values_at(sub, rng_factors, dop_factors, r_i, v_i)
+            sub = mxu.C2(R.re[aoa_start:], R.im[aoa_start:])
+            vals = mxu.rd_values_from_range_dft(sub, dop_factors, r_i, v_i)
 
         az = (mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins)
               if az_idx.size else jnp.zeros(r_i.shape, jnp.float32))

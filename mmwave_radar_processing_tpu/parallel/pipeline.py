@@ -25,10 +25,7 @@ from mmwave_radar_processing_tpu.processors.point_cloud import (
     spherical_to_cartesian_flu,
 )
 from mmwave_radar_processing_tpu.processors.range_doppler import range_doppler_map
-from mmwave_radar_processing_tpu.processors.virtual_array import (
-    reformat,
-    reformat_channels,
-)
+from mmwave_radar_processing_tpu.processors.virtual_array import reformat
 
 
 class PointCloudBatch(NamedTuple):
@@ -143,6 +140,18 @@ def _build_pipeline_mxu(
     static constants (:mod:`mmwave_radar_processing_tpu.ops.mxu`); CFAR and
     compaction are float-only sort/gather kernels.  Bin lookups exploit the
     affine grids (``bin = idx * res + offset``) instead of gathers.
+
+    Dataflow (round-3 rework, stage-bisected on the chip): ONE shared
+    range-DFT'd union cube ``R`` feeds both the CFAR magnitude map (channel
+    0's Doppler DFT) and the per-detection AoA values — the virtual-array
+    reformat folds into the range-DFT contraction
+    (:func:`ops.mxu.range_dft_channels`, no channel-subset intermediate),
+    the range-bin selection of the AoA values becomes a *real* one-hot
+    contraction on ``R`` (:func:`ops.mxu.rd_values_from_range_dft`, half the
+    matmul work of the bilinear form), and detection compaction scans only
+    the CFAR interior (edges are False by construction).  Measured at batch
+    1024: 12.1 -> 9.3 ms/dispatch vs the round-2 formulation, bit-identical
+    outputs.
     """
     from mmwave_radar_processing_tpu.ops import mxu
 
@@ -163,40 +172,52 @@ def _build_pipeline_mxu(
     range_res = cfg.range_res_m
     vel0, vel_res = -cfg.vel_max_m_s, cfg.vel_res_m_s
 
-    # union of antenna subsets: per-detection RD values are evaluated once for
-    # these rows (bilinear DFT forms, ops/mxu.rd_values_at), then each
-    # subset's AoA FFT reads its positions out of the union
-    union_idx, az_pos, el_pos, needed = mxu.aoa_union_layout(az_idx, el_idx)
+    # union of antenna subsets: per-detection RD values are evaluated once on
+    # the shared range-DFT'd cube, then each subset's AoA FFT reads its
+    # positions out of the union
+    union_idx, az_pos, el_pos, _ = mxu.aoa_union_layout(az_idx, el_idx)
+    if union_idx.size and 0 in union_idx:
+        chans = tuple(int(v) for v in union_idx)
+        ch0_pos, aoa_start = int(np.searchsorted(union_idx, 0)), 0
+    else:
+        chans = (0,) + tuple(int(v) for v in union_idx)
+        ch0_pos, aoa_start = 0, 1
+    # CFAR edge rows/cols are False by construction -> compact interior only
+    edge_r = cfar_params["num_train"][0] + cfar_params["num_guard"][0]
+    edge_d = cfar_params["num_train"][1] + cfar_params["num_guard"][1]
+    interior = ((edge_r, edge_d)
+                if ns - 2 * edge_r > 0 and nc_loops - 2 * edge_d > 0 else None)
 
     def single_frame(raw_re, raw_im):
         if reformat_input:
-            # only channel 0 (CFAR map) + the AoA union are ever touched:
-            # build those from strided raw slices instead of materializing
-            # the full virtual cube (reformat_channels docstring)
-            sub_all = mxu.C2(
-                reformat_channels(raw_re, channels=needed, num_rx=num_rx,
-                                  cfgs_per_loop=cpl),
-                reformat_channels(raw_im, channels=needed, num_rx=num_rx,
-                                  cfgs_per_loop=cpl),
+            # reformat folded into the windowed range DFT: raw cube read
+            # once by the contraction, no virtual-cube intermediate
+            R = mxu.range_dft_channels(
+                mxu.C2(raw_re, raw_im), chans, rng_factors,
+                num_rx=num_rx, cfgs_per_loop=cpl,
             )
         else:
-            sub_all = mxu.C2(raw_re[jnp.asarray(needed)],
-                             raw_im[jnp.asarray(needed)])
+            sel = mxu.C2(raw_re[jnp.asarray(chans)],
+                         raw_im[jnp.asarray(chans)])
+            R = mxu.dft_apply(sel, rng_factors, axis=-2)
         # CFAR detects on antenna 0's magnitude map only; the other channels'
         # RD responses are never materialized — per-detection values come
-        # from bilinear DFT forms instead (stage bisection on the real chip
-        # put the materialize+gather AoA at ~24 ms of a 37 ms dispatch)
-        rd0 = mxu.range_doppler_map_mxu(
-            mxu.C2(sub_all.re[0], sub_all.im[0]), rng_factors, dop_factors
+        # from one-hot contractions of the shared R instead (stage bisection
+        # on the real chip put the materialize+gather AoA at ~24 ms of a
+        # 37 ms dispatch)
+        rd0 = mxu.dft_apply(
+            mxu.C2(R.re[ch0_pos], R.im[ch0_pos]), dop_factors, axis=-1
         )
         mag = mxu.cabs(rd0)
         # detection-only counting CFAR: bit-exact vs the threshold path,
         # no rank selection on the hot path (ops/cfar.py os_2d_detect)
         det = cfar_ops.os_2d_detect(mag, **cfar_params)
-        r_i, v_i, valid, count = masked.mask_to_indices_2d(det, max_dets)
+        r_i, v_i, valid, count = masked.mask_to_indices_2d(
+            det, max_dets, interior=interior
+        )
         if union_idx.size:
-            sub = mxu.C2(sub_all.re[1:], sub_all.im[1:])
-            vals = mxu.rd_values_at(sub, rng_factors, dop_factors, r_i, v_i)
+            sub = mxu.C2(R.re[aoa_start:], R.im[aoa_start:])
+            vals = mxu.rd_values_from_range_dft(sub, dop_factors, r_i, v_i)
         az = (
             mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins)
             if az_idx.size

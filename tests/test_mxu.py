@@ -84,6 +84,41 @@ def test_rd_values_at_matches_full_map(rng):
                                atol=1e-4 * np.abs(ref).max())
 
 
+def test_range_dft_channels_matches_reformat_then_dft(rng):
+    """Fused reformat+range-DFT == reformat, slice channels, DFT."""
+    from mmwave_radar_processing_tpu.processors.virtual_array import reformat
+
+    raw = (
+        rng.standard_normal((4, 63, 210)) + 1j * rng.standard_normal((4, 63, 210))
+    ).astype(np.complex64)
+    chans = (0, 3, 4, 5, 7, 8, 9)
+    factors = mxu.dft_factors(63, window=np.hanning(63))
+    full = mxu.from_complex(reformat(jnp.asarray(raw), num_rx=4, cfgs_per_loop=3))
+    ch = np.asarray(chans)
+    ref = mxu.dft_apply(mxu.C2(full.re[ch], full.im[ch]), factors, axis=-2)
+    got = mxu.range_dft_channels(
+        mxu.from_complex(raw), chans, factors, num_rx=4, cfgs_per_loop=3
+    )
+    np.testing.assert_allclose(mxu.to_complex(got), mxu.to_complex(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_rd_values_from_range_dft_matches_bilinear(rng):
+    """One-hot selection on the range-DFT'd cube == the bilinear form."""
+    cube = (
+        rng.standard_normal((7, 63, 70)) + 1j * rng.standard_normal((7, 63, 70))
+    ).astype(np.complex64)
+    factors = mxu.range_doppler_factors(63, 70)
+    r_idx = jnp.asarray(np.array([0, 5, 17, 33, 62, 62, 8, 0]))
+    v_idx = jnp.asarray(np.array([0, 69, 12, 41, 69, 0, 33, 7]))
+    old = mxu.rd_values_at(mxu.from_complex(cube), *factors, r_idx, v_idx)
+    R = mxu.dft_apply(mxu.from_complex(cube), factors[0], axis=-2)
+    new = mxu.rd_values_from_range_dft(R, factors[1], r_idx, v_idx)
+    ref = mxu.to_complex(old)
+    np.testing.assert_allclose(mxu.to_complex(new), ref, rtol=1e-4,
+                               atol=1e-4 * np.abs(ref).max())
+
+
 def test_range_doppler_mxu_matches_reference_kernel(flagship_config, rng):
     from mmwave_radar_processing_tpu.processors.range_doppler import range_doppler_map
 

@@ -50,6 +50,22 @@ def test_mask_to_indices_2d_row_major():
     np.testing.assert_array_equal(np.asarray(cols)[np.asarray(valid)], ref_c)
 
 
+def test_mask_to_indices_2d_interior_matches_full(rng):
+    """Interior-only compaction == full compaction on edge-False masks."""
+    for er, ed in [(8, 7), (0, 16), (3, 0)]:
+        mask = rng.random((63, 70)) < 0.03
+        if er:
+            mask[:er, :] = False
+            mask[-er:, :] = False
+        if ed:
+            mask[:, :ed] = False
+            mask[:, -ed:] = False
+        full = masked.mask_to_indices_2d(mask, 32)
+        fast = masked.mask_to_indices_2d(mask, 32, interior=(er, ed))
+        for a, b in zip(full, fast):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 # --------------------------------------------------------------------------- #
 # chirp-z / zoom FFT
 # --------------------------------------------------------------------------- #
