@@ -23,7 +23,6 @@ import numpy as np
 
 from mmwave_radar_processing_tpu.config import RadarConfig, grids
 from mmwave_radar_processing_tpu.ops import beamform as bf, mxu, windows
-from mmwave_radar_processing_tpu.processors.virtual_array import reformat
 
 
 def build_capon_pipeline(
@@ -51,16 +50,22 @@ def build_capon_pipeline(
     steering = bf.steering_ula(grids.phase_shift_bins(num_angle_bins),
                                len(idxs))
 
+    chans = tuple(int(v) for v in idxs)
+
     def pipeline(raw_re: jax.Array, raw_im: jax.Array) -> jax.Array:
         if reformat_input:
-            re = jax.vmap(lambda x: reformat(x, num_rx=num_rx,
-                                             cfgs_per_loop=cpl))(raw_re)
-            im = jax.vmap(lambda x: reformat(x, num_rx=num_rx,
-                                             cfgs_per_loop=cpl))(raw_im)
+            # reformat folded into the range DFT: only the selected antennas'
+            # chirp slices are ever touched, no 12-channel virtual-cube
+            # materialization (ops/mxu.range_dft_channels)
+            rng = jax.vmap(
+                lambda rr, ri: mxu.range_dft_channels(
+                    mxu.C2(rr, ri), chans, rng_factors,
+                    num_rx=num_rx, cfgs_per_loop=cpl,
+                )
+            )(raw_re, raw_im)
         else:
-            re, im = raw_re, raw_im
-        sel = mxu.C2(re[:, idxs], im[:, idxs])  # [B, A, ns, K]
-        rng = mxu.dft_apply(sel, rng_factors, axis=-2)
+            sel = mxu.C2(raw_re[:, idxs], raw_im[:, idxs])  # [B, A, ns, K]
+            rng = mxu.dft_apply(sel, rng_factors, axis=-2)
         # snapshots per (frame, range bin): [B, ns, A, K]
         snaps = mxu.C2(jnp.moveaxis(rng.re, 1, 2), jnp.moveaxis(rng.im, 1, 2))
         if method == "bartlett":
