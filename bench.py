@@ -169,7 +169,13 @@ def load_measured_baseline(metric: str):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=1024)
-    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--iters", type=int, default=60,
+                        help="dispatches per timing repetition; the single "
+                             "fence fetch (~40 ms round trip) is amortized "
+                             "over all of them, so small N inflates the "
+                             "per-dispatch time (N=20, the round-1/2 "
+                             "protocol, charged ~1.3 ms/dispatch of fetch "
+                             "latency to the pipeline)")
     parser.add_argument("--repeats", type=int, default=3,
                         help="timing repetitions; best (max frames/s) wins — "
                              "single runs through the tunnel vary ~20%")
@@ -302,7 +308,11 @@ def main():
     # (alternating two input sets to defeat any result reuse), then fetch one
     # scalar element of the last output; the FIFO execution queue makes that
     # fence cover every enqueued call.  The ~40 ms fetch round-trip is
-    # amortized over the batch of calls.
+    # amortized over the batch of calls — it is measurement apparatus, not
+    # pipeline cost, so the window must be wide: at the round-1/2 default of
+    # 20 dispatches the fetch charged ~1.3 ms/dispatch to the pipeline
+    # (north star measured 152.7k frames/s at N=20 vs 174.8k at N=60,
+    # BENCH_SELF.md "protocol note").
     def fence(out):
         leaf = jax.tree_util.tree_leaves(out)[-1]
         return np.asarray(leaf.reshape(-1)[0])

@@ -61,6 +61,7 @@ def build_velocity_pipeline(
     min_zoom_fft_vel_span: float = 0.1,
     seed: int = 42,
     response_backend: str = "auto",
+    stop_after: str = None,
 ):
     """Compile ``(raw_re, raw_im, altitude[B]) -> VelocityBatch``.
 
@@ -77,6 +78,13 @@ def build_velocity_pipeline(
     ``"auto"`` (pallas on TPU, xla elsewhere).  Measured on the chip at
     batch 1024: the XLA chain materializes the ``[set, W, vel, angle]``
     spectrum to HBM twice (~19 ms); the kernel keeps it in VMEM (~6 ms).
+
+    ``stop_after``: debug/profiling knob — return the stage's raw outputs
+    instead of running the full pipeline (``"responses"``: the averaged
+    az/el Doppler-azimuth responses; ``"vx"``: the zero-azimuth readout;
+    ``"peaks"``: the per-row peak angles/velocities/found masks).  Used for
+    on-chip stage bisection (dead code below the cut is eliminated by XLA,
+    so each cut measures the true prefix cost).
     """
     ns, loops = cfg.num_adc_samples, cfg.frame.loops
     num_rx, cpl = cfg.num_rx_antennas, cfg.chirp_cfgs_per_loop
@@ -319,6 +327,8 @@ def build_velocity_pipeline(
         )
         chv = chirp_apply(rng_w, *chirp_factors)  # [12, W, nv]
         az_resp, el_resp = set_responses(chv, rmask)
+        if stop_after == "responses":
+            return az_resp, el_resp
 
         def vx_from(az_r, el_r, bins, row_valid=None):
             az_v, az_found = zero_az_vel(az_r, bins, row_valid)
@@ -329,6 +339,8 @@ def build_velocity_pipeline(
             )
 
         vx = vx_from(az_resp, el_resp, vel_bins)
+        if stop_after == "vx":
+            return vx
         peak_bins, peak_row_valid = vel_bins, None
 
         if enable_precise:
@@ -341,6 +353,8 @@ def build_velocity_pipeline(
         k1, k2 = jax.random.split(key)
         az_a, az_vl, az_f = row_peaks(az_resp, peak_bins, peak_row_valid)
         el_a, el_vl, el_f = row_peaks(el_resp, peak_bins, peak_row_valid)
+        if stop_after == "peaks":
+            return az_a, az_vl, az_f, el_a, el_f, vx
         az_vy, az_r2, az_in = fit_vy(az_a, az_vl, az_f, vx, k1)
         el_vy, el_r2, el_in = fit_vy(el_a, el_vl, el_f, vx, k2)
 
