@@ -51,6 +51,11 @@ def _masked_lstsq(h: jax.Array, y: jax.Array, w: jax.Array) -> jax.Array:
     b = hw.T @ y  # (D,)
     d = a.shape[0]
     ridge = 1e-7 * (jnp.trace(a) / d + 1e-30)
+    if d == 1:
+        # scalar fast path: the velocity fits are 1-parameter models, and a
+        # batched LU solve of 1x1 systems costs a dispatch-dominating custom
+        # call where a divide is exact and fused
+        return b / (a[0, 0] + ridge)
     return jnp.linalg.solve(a + ridge * jnp.eye(d, dtype=a.dtype), b)
 
 

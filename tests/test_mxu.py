@@ -306,6 +306,35 @@ def test_synthetic_aperture_scan_matches_object_api(flagship_config, rng):
     assert bool(oks[-1])  # steady track validates once the buffer fills
 
 
+def test_velocity_pipeline_stop_after_stages(flagship_config):
+    """The stage-bisection knob returns prefix outputs equal to the full run."""
+    from mmwave_radar_processing_tpu.data import ground_scene, simulate_frame
+    from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
+        build_velocity_pipeline,
+    )
+
+    rng = np.random.default_rng(9)
+    scene = ground_scene(flagship_config, altitude_m=1.2,
+                         ego_vel=np.array([0.8, 0.2, 0.0]), num_patches=64,
+                         rng=rng, noise_sigma=0.03)
+    raw = np.stack([simulate_frame(flagship_config, scene, rng)
+                    for _ in range(2)])
+    rr = np.real(raw).astype(np.float32)
+    ri = np.imag(raw).astype(np.float32)
+    alts = np.full(2, 1.2, np.float32)
+
+    full = build_velocity_pipeline(flagship_config)(rr, ri, alts)
+    vx = build_velocity_pipeline(flagship_config, stop_after="vx")(rr, ri, alts)
+    np.testing.assert_array_equal(np.asarray(vx), np.asarray(full.vx))
+    az_resp, el_resp = build_velocity_pipeline(
+        flagship_config, stop_after="responses")(rr, ri, alts)
+    nv = flagship_config.frame.loops
+    assert az_resp.shape[:2] == (2, nv) and el_resp.shape[:2] == (2, nv)
+    peaks = build_velocity_pipeline(
+        flagship_config, stop_after="peaks")(rr, ri, alts)
+    assert peaks[0].shape == (2, nv)  # az row-peak angles
+
+
 def test_fused_velocity_pipeline_precise(flagship_config):
     """Precise (zoom) path matches the object API's enable_precise_responses."""
     from mmwave_radar_processing_tpu.data import ground_scene, simulate_frame
