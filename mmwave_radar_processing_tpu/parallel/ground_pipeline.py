@@ -53,8 +53,14 @@ def build_ground_point_cloud_pipeline(
     shift_az_resp: bool = True,
     shift_el_resp: bool = False,
     reformat_input: bool = True,
+    stop_after: str = None,
 ):
-    """Compile ``(raw_re[T,...], raw_im[T,...]) -> GroundPipelineOut``."""
+    """Compile ``(raw_re[T,...], raw_im[T,...]) -> GroundPipelineOut``.
+
+    ``stop_after="altitude"`` returns just the scanned altitude track (the
+    sequential recursion), for on-chip stage bisection of scan vs the
+    vmapped detection behind it.
+    """
     vel_cfar_params = vel_cfar_params or dict(
         num_train=12, num_guard=4, rho=0.5, alpha=15.0
     )
@@ -97,10 +103,22 @@ def build_ground_point_cloud_pipeline(
         gp = jnp.min(jnp.where(ok, peak_ranges, jnp.inf))
         return jnp.where(jnp.isfinite(gp), gp, -1.0)
 
-    def altimeter_step(current, chirp0: mxu.C2):
-        """MXU altimeter update (mirrors ``Altimeter.step``).
+    def peak_candidates(chirp0: mxu.C2):
+        """State-independent coarse altimeter precompute — batched OUTSIDE
+        the scan.
 
-        ``chirp0``: ``(channels, ns)`` — loop-0 chirp of every virtual
+        The coarse half of the altimeter recursion (mirroring
+        ``Altimeter.step``) — range DFT + top-3 peak finding — does not
+        depend on the tracked altitude, so it runs vmapped over the whole
+        recording; the sequential ``lax.scan`` keeps only the eligibility
+        gate / min-selection scalars and the ``lax.cond``-gated zoom refine
+        (which must stay in-scan: its band depends on the selected
+        candidate, and precomputing it for every candidate of every frame
+        costs more in always-on in-graph cos/sin factor construction than
+        the serialization it removes — measured 9.5 vs 6.8 ms on the
+        altitude stage).
+
+        ``chirp0``: ``(channels, ns)`` loop-0 chirp of every virtual
         channel, the only slice of the cube the altimeter reads.
         """
         spec = mxu.dft_apply(chirp0, alt_rng_factors, axis=1)
@@ -109,10 +127,13 @@ def build_ground_point_cloud_pipeline(
         idx, _, valid = peaks_ops.top_peaks_within_threshold(
             db, max_peaks=3, min_prominence=6.0, threshold_db=20.0
         )
-        gp = find_ground_peak(jnp.where(valid, plain_bins[idx], 0.0), valid, current)
+        return jnp.where(valid, plain_bins[idx], 0.0), valid  # (3,)
 
-        if not precise_est_enabled:
-            return jnp.where(gp >= 0, gp, current)
+    def alt_step(current, frame_in):
+        """Scan body: selection scalars + the cond-gated zoom refine only."""
+        cand, valid, chirp0_re, chirp0_im = frame_in
+        chirp0 = mxu.C2(chirp0_re, chirp0_im)
+        gp = find_ground_peak(cand, valid, current)
 
         def refine(gp_val):
             lo = jnp.maximum(1e-6, gp_val - zoom_search_region_m)
@@ -133,11 +154,10 @@ def build_ground_point_cloud_pipeline(
             )
             return jnp.where(refined > 0, refined, current)
 
-        return jax.lax.cond(gp >= 0, refine, lambda _: current, gp)
-
-    def alt_step(current_alt, chirp0_pair):
-        """Scan body: the altimeter recursion only — everything else vmaps."""
-        new_alt = altimeter_step(current_alt, mxu.C2(*chirp0_pair))
+        if precise_est_enabled:
+            new_alt = jax.lax.cond(gp >= 0, refine, lambda _: current, gp)
+        else:
+            new_alt = jnp.where(gp >= 0, gp, current)
         return new_alt, new_alt + range_bias
 
     def detect_frame(raw_re, raw_im, corrected):
@@ -218,7 +238,11 @@ def build_ground_point_cloud_pipeline(
             im0 = im0.reshape(raw_im.shape[0], cpl * num_rx, ns)
         else:
             re0, im0 = raw_re[..., 0], raw_im[..., 0]
-        final, alts = jax.lax.scan(alt_step, init, (re0, im0))
+        cand, valid = jax.vmap(lambda r, i: peak_candidates(mxu.C2(r, i)))(
+            re0, im0)
+        final, alts = jax.lax.scan(alt_step, init, (cand, valid, re0, im0))
+        if stop_after == "altitude":
+            return alts, final
         pts, valid, count = jax.vmap(detect_frame)(raw_re, raw_im, alts)
         return GroundPipelineOut(pts, valid, count, alts, final)
 
