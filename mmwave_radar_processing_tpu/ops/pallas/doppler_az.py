@@ -60,6 +60,91 @@ def _kernel(u_re_ref, u_im_ref, wgt_ref, fct_ref, fst_ref, out_ref, *,
         out_ref[s] = acc
 
 
+def _kernel_batch(u_re_ref, u_im_ref, wgt_ref, fct_ref, fst_ref, out_ref, *,
+                  set_idx, n_sets, n_rx, win_rows, nv, frames):
+    for f in range(frames):
+        for s in range(n_sets):
+            sp_re = None
+            sp_im = None
+            for r in range(n_rx):
+                ch = int(set_idx[s][r])
+                ur = u_re_ref[f, ch, :][None, :]  # [1, M]
+                ui = u_im_ref[f, ch, :][None, :]
+                fc = fct_ref[:, n_rx * s + r][:, None]  # [Av, 1]
+                fs = fst_ref[:, n_rx * s + r][:, None]
+                t_re = fc * ur + fs * ui
+                t_im = fc * ui - fs * ur
+                sp_re = t_re if sp_re is None else sp_re + t_re
+                sp_im = t_im if sp_im is None else sp_im + t_im
+            mag = jnp.sqrt(sp_re * sp_re + sp_im * sp_im)  # [Av, M]
+            acc = wgt_ref[f, 0] * mag[:, 0:nv]
+            for w in range(1, win_rows):
+                acc = acc + wgt_ref[f, w] * mag[:, w * nv:(w + 1) * nv]
+            out_ref[f, s] = acc
+
+
+@partial(jax.jit, static_argnames=("set_idx", "nv", "interpret",
+                                   "frames_per_block"))
+def set_responses_pallas_batch(
+    u_re: jax.Array,
+    u_im: jax.Array,
+    wgt: jax.Array,
+    fct: jax.Array,
+    fst: jax.Array,
+    *,
+    set_idx,
+    nv: int,
+    interpret: bool = False,
+    frames_per_block: int = 8,
+) -> jax.Array:
+    """Batched :func:`set_responses_pallas`: several frames per grid step.
+
+    One frame's chirp spectrum is only ~120 KB — a per-frame grid step is
+    DMA-latency-bound, not bandwidth-bound.  Blocking ``frames_per_block``
+    frames per step amortizes the per-step DMA/setup cost (measured on the
+    velocity pipeline at batch 1024: the response stage dominates the
+    12.8 ms front half; see BENCH_SELF.md round 3).
+
+    Args:
+        u_re, u_im: ``[B, n_channels, W*nv]`` chirp-DFT'd spectra.
+        wgt: ``[B, W]`` per-frame range-window weights.
+        fct, fst: as in :func:`set_responses_pallas` (shared constants).
+
+    Returns:
+        ``[B, n_sets, Av, nv]`` float32 responses.
+    """
+    n_sets, n_rx = len(set_idx), len(set_idx[0])
+    b, n_ch, m = u_re.shape
+    av = fct.shape[0]
+    win_rows = m // nv
+    f = frames_per_block
+    while b % f:
+        f //= 2
+    f = max(1, f)
+    kern = partial(_kernel_batch, set_idx=set_idx, n_sets=n_sets, n_rx=n_rx,
+                   win_rows=win_rows, nv=nv, frames=f)
+    return pl.pallas_call(
+        kern,
+        grid=(b // f,),
+        out_shape=jax.ShapeDtypeStruct((b, n_sets, av, nv), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((f, n_ch, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, n_ch, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, win_rows), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((av, n_sets * n_rx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((av, n_sets * n_rx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((f, n_sets, av, nv), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(u_re, u_im, wgt, fct, fst)
+
+
 @partial(jax.jit, static_argnames=("set_idx", "nv", "interpret"))
 def set_responses_pallas(
     u_re: jax.Array,

@@ -292,7 +292,7 @@ def build_velocity_pipeline(
         )
         return vy, res.r2, res.inlier_fraction
 
-    def single_frame(raw_re, raw_im, altitude, key):
+    def frame_front(raw_re, raw_im, altitude):
         lo = jnp.maximum(0.0, altitude - lower_range_bound)
         hi = jnp.minimum(cfg.range_max_m, altitude + upper_range_bound)
 
@@ -329,7 +329,9 @@ def build_velocity_pipeline(
                  n_virt, win_rows, loops),
         )
         chv = chirp_apply(rng_w, *chirp_factors)  # [12, W, nv]
-        az_resp, el_resp = set_responses(chv, rmask)
+        return rng_w, rmask, chv
+
+    def frame_back(rng_w, rmask, az_resp, el_resp, key):
         if stop_after == "responses":
             return az_resp, el_resp
 
@@ -370,8 +372,35 @@ def build_velocity_pipeline(
         velocity = jnp.stack([gated_az, gated_el, vx])
         return VelocityBatch(velocity, vx, az_r2, el_r2, az_in, el_in)
 
+    def single_frame(raw_re, raw_im, altitude, key):
+        rng_w, rmask, chv = frame_front(raw_re, raw_im, altitude)
+        az_resp, el_resp = set_responses(chv, rmask)
+        return frame_back(rng_w, rmask, az_resp, el_resp, key)
+
     def batch_fn(raw_re, raw_im, altitude):
         keys = jax.random.split(base_key, raw_re.shape[0])
-        return jax.vmap(single_frame)(raw_re, raw_im, altitude, keys)
+        if response_backend != "pallas":
+            return jax.vmap(single_frame)(raw_re, raw_im, altitude, keys)
+        # Hoist the coarse response kernel to batch level: one frame's chirp
+        # spectrum (~120 KB) makes a per-frame grid step DMA-latency-bound,
+        # so several frames ride each grid step instead
+        # (ops/pallas/doppler_az.set_responses_pallas_batch).  The precise
+        # zoom pass (if enabled) still runs per frame inside frame_back —
+        # its factor matrices are traced per frame.
+        b = raw_re.shape[0]
+        rng_w, rmask, chv = jax.vmap(frame_front)(raw_re, raw_im, altitude)
+        nvp = chv.shape[-1]
+        wgt = rmask / jnp.maximum(
+            jnp.sum(rmask, axis=1, keepdims=True), 1.0)
+        resp = doppler_az.set_responses_pallas_batch(
+            chv.re.reshape(b, n_virt, win_rows * nvp),
+            chv.im.reshape(b, n_virt, win_rows * nvp),
+            wgt, fct, fst, set_idx=set_idx_t, nv=nvp,
+            interpret=jax.devices()[0].platform == "cpu",
+        )
+        resp = jnp.moveaxis(resp, -1, -2)  # [B, 4, nv, Av]
+        az_resp = 0.5 * (resp[:, 0] + resp[:, 1])
+        el_resp = 0.5 * (resp[:, 2] + resp[:, 3])
+        return jax.vmap(frame_back)(rng_w, rmask, az_resp, el_resp, keys)
 
     return jax.jit(batch_fn)
