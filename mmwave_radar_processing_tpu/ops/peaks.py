@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mmwave_radar_processing_tpu.ops.masked import mask_to_indices
 
@@ -43,6 +44,13 @@ def prominences(x: jax.Array, peak_mask: jax.Array) -> jax.Array:
 
     Dense O(N^2) formulation: for each (peak, sample) pair build interval
     membership masks and reduce.  Entries where ``peak_mask`` is False are 0.
+
+    This IS the production path on TPU, deliberately: an asymptotically
+    better O(N log N) ANSV formulation (:func:`prominences_ansv`, kept as a
+    recorded negative result) is bit-identical but measured **68x slower**
+    in the velocity pipeline on the chip (685 vs 46,738 frames/s at batch
+    1024) — its per-element sparse-table gathers serialize on TPU, while the
+    dense masks fuse into a handful of full-lane VPU reductions.
     """
     n = x.shape[0]
     i = jnp.arange(n)[:, None]
@@ -60,6 +68,81 @@ def prominences(x: jax.Array, peak_mask: jax.Array) -> jax.Array:
     in_right = (j >= i) & (j < nearest_higher_right[:, None])
     right_min = jnp.min(jnp.where(in_right, xj, jnp.inf), axis=1)
 
+    prom = x - jnp.maximum(left_min, right_min)
+    return jnp.where(peak_mask, prom, 0.0)
+
+
+def _log_tables(x: jax.Array, levels: int, pad: float, op) -> jax.Array:
+    """Doubling (sparse) table: ``T[k, s] = op(x[s .. s+2^k-1])``, padded."""
+    n = x.shape[0]
+    t = x
+    rows = [t]
+    for k in range(1, levels + 1):
+        half = 1 << (k - 1)
+        shifted = jnp.concatenate(
+            [t[half:], jnp.full((half,), pad, x.dtype)]
+        ) if half < n else jnp.full((n,), pad, x.dtype)
+        t = op(t, shifted)
+        rows.append(t)
+    return jnp.stack(rows)  # [levels+1, n]
+
+
+@jax.jit
+def prominences_ansv(x: jax.Array, peak_mask: jax.Array) -> jax.Array:
+    """O(N log N) prominence — recorded NEGATIVE RESULT on TPU; do not wire in.
+
+    Same contract and bit-identical output as :func:`prominences` (every op
+    is a comparison, min, or max — no rounding; asserted exhaustively in
+    ``tests/test_ops.py``): the nearest strictly-higher sample on each side
+    is located by a binary descent over a doubling range-max table (skip a
+    2^k block iff its max is <= x[i] — the greedy skip sequence is exactly
+    the binary decomposition of the true distance), and each side's base is
+    a two-overlapping-intervals range-min query on a doubling range-min
+    table.
+
+    Measured in the velocity pipeline on the chip (batch 1024): **685 vs
+    46,738 frames/s** for the dense form — the data-dependent
+    ``table[k, idx]`` gathers (one per element per descent level) serialize
+    on TPU where the dense O(N^2) masks fuse into full-lane VPU reductions.
+    At spectrum-row sizes (N = 60-256) asymptotics never get a chance.  Kept
+    for documentation and as a CPU-friendly alternative.
+    """
+    n = x.shape[0]
+    if n <= 16:  # tables + gathers don't pay below a VPU lane's worth
+        return prominences(x, peak_mask)
+    k_hi = max(1, int(np.ceil(np.log2(n))))  # descent levels: K-1 .. 0
+    k_min = int(np.floor(np.log2(n)))  # max level a range-min query needs
+    tmax = _log_tables(x, k_hi - 1, -np.inf, jnp.maximum)
+    tmin = _log_tables(x, k_min, np.inf, jnp.minimum)
+    i = jnp.arange(n)
+
+    def descend(start, leftward: bool):
+        """Exclusive boundary of the all-<=x[i] run on one side."""
+        p = start
+        for k in range(k_hi - 1, -1, -1):
+            step = 1 << k
+            if leftward:
+                s = p - step
+                ok = (s >= 0) & (tmax[k][jnp.clip(s, 0, n - 1)] <= x)
+                p = jnp.where(ok, s, p)
+            else:
+                ok = (p + step <= n) & (tmax[k][jnp.clip(p, 0, n - 1)] <= x)
+                p = jnp.where(ok, p + step, p)
+        return p
+
+    def range_min(lo, hi):
+        """min(x[lo..hi]) per element, hi >= lo (two overlapping intervals)."""
+        length = hi - lo + 1
+        k = jnp.zeros_like(length)
+        for t in range(1, k_min + 1):
+            k = k + (length >= (1 << t)).astype(k.dtype)
+        step = jnp.left_shift(jnp.ones_like(k), k)
+        return jnp.minimum(tmin[k, lo], tmin[k, hi - step + 1])
+
+    p = descend(i, leftward=True)  # interval (nearest-higher-left, i] = [p, i]
+    q = descend(i + 1, leftward=False)  # [i, nearest-higher-right) = [i, q-1]
+    left_min = range_min(p, i)
+    right_min = range_min(i, q - 1)
     prom = x - jnp.maximum(left_min, right_min)
     return jnp.where(peak_mask, prom, 0.0)
 

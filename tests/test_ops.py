@@ -125,6 +125,39 @@ def test_prominences_match_scipy(rng):
         np.testing.assert_allclose(ours, ref_prom, rtol=1e-5, atol=1e-6)
 
 
+def test_prominences_ansv_bit_identical_to_dense(rng):
+    """The O(N log N) ANSV variant must equal the production path BIT-FOR-BIT.
+
+    Every op in both formulations is a comparison, min, or max (no rounding),
+    so exact equality is the contract — including ties/plateaus (rounded
+    values) and monotone runs (the binary-descent worst case).  The ANSV
+    variant is a recorded TPU negative result (68x slower on-chip, see its
+    docstring); this test keeps it honest as documentation.
+    """
+    import jax
+
+    for n in [2, 3, 5, 16, 17, 31, 32, 33, 60, 63, 64, 70, 128, 140, 255]:
+        for trial in range(8):
+            x = rng.standard_normal(n).astype(np.float32)
+            if trial % 3 == 0:
+                x = np.round(x)  # force exact ties
+            if trial % 5 == 0:
+                x = np.sort(x)  # monotone: nearest-higher always at distance 1
+            m = np.asarray(peaks.local_maxima(x))
+            dense = np.asarray(peaks.prominences(x, m))
+            fast = np.asarray(peaks.prominences_ansv(x, m))
+            np.testing.assert_array_equal(fast, dense)
+    # vmapped exactly as the velocity pipeline's row_peaks uses it
+    X = rng.standard_normal((70, 60)).astype(np.float32)
+
+    def per_row(row):
+        m = peaks.local_maxima(row)
+        return peaks.prominences_ansv(row, m), peaks.prominences(row, m)
+
+    fast, dense = jax.vmap(per_row)(X)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(dense))
+
+
 def test_find_peaks_with_prominence(rng):
     for _ in range(10):
         x = 10 * _smooth_signal(rng)

@@ -69,22 +69,36 @@ def test_multi_vel_estimation_script():
     the script against the shipped config verbatim — per-dataset and pooled
     error reports must come out.
     """
+    def complete(path):
+        # a stale/interrupted generation (radar dir present but odom missing
+        # or short) must trigger a regenerate, not a downstream script failure
+        radar = os.path.join(path, "radar_0_adc")
+        odom = os.path.join(path, "vehicle_odom")
+        return (os.path.isdir(radar) and os.path.isdir(odom)
+                and len(os.listdir(radar)) == 10
+                and len(os.listdir(odom)) == 10)
+
     for path, seed in [("/tmp/sim_radvel_a", "0"), ("/tmp/sim_radvel_b", "1")]:
-        if not os.path.isdir(os.path.join(path, "radar_0_adc")):
+        if not complete(path):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
             r = _run([
                 "scripts/simulate_dataset.py", "--out", path, "--frames", "10",
                 "--vx", "0.4", "--altitude", "1.0", "--ramp-frames", "5",
                 "--seed", seed,
             ])
             assert r.returncode == 0, r.stderr[-2000:]
+            assert complete(path)
     r = _run([
         "scripts/test_multi_vel_estimation.py",
         "--config", "analyzer_configs/multi_dataset_velocity_analysis_config.yaml",
     ])
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "sim_radvel_a" in r.stdout and "sim_radvel_b" in r.stdout
-    assert "pooled over all datasets" in r.stdout
-    assert "RMSE" in r.stdout
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    assert "sim_radvel_a" in r.stdout and "sim_radvel_b" in r.stdout, (
+        r.stdout[-2000:])
+    assert "pooled over all datasets" in r.stdout, r.stdout[-2000:]
+    assert "RMSE" in r.stdout, r.stdout[-2000:]
 
 
 def test_dataset_aux_modalities(tmp_path):
