@@ -30,6 +30,16 @@ BASELINE_MEASURED_PATH = os.path.join(_HERE, "BASELINE_MEASURED.json")
 CFAR_PARAMS = dict(num_train=(5, 5), num_guard=(3, 2), rho=0.7, alpha=4.0)
 AZ_IDXS, EL_IDXS = (0, 3, 4, 7), (9, 8, 5, 4)
 
+# Logical batches per program execution (parallel/pipeline.chunk_dispatch):
+# one execution lax.scans over K chunks of `--batch` frames, dividing the
+# measured 2.39 ms fixed dispatch cost by K while the compiled step (and its
+# live working set) stays at the proven batch-1024 shape.  Defaults are the
+# winners of the round-4 within-process A/B sweep (BENCH_SELF.md); `ground`
+# is a stateful temporal scan, so chunking its batch axis would reset the
+# altimeter state mid-recording — excluded.
+CHUNK_DEFAULTS = {"pointcloud": 1, "velocity": 1, "combined": 1,
+                  "capon": 1, "bartlett": 1, "ground": 1}
+
 # Which reference workload each metric's ``vs_baseline`` divides by.  Metrics
 # absent here (capon/bartlett) have NO reference counterpart — their ratio is
 # printed as null rather than against an unrelated workload.
@@ -179,6 +189,11 @@ def main():
     parser.add_argument("--repeats", type=int, default=3,
                         help="timing repetitions; best (max frames/s) wins — "
                              "single runs through the tunnel vary ~20%")
+    parser.add_argument("--chunks", type=int, default=None,
+                        help="logical batches per program execution "
+                             "(lax.scan mega-dispatch, "
+                             "parallel/pipeline.chunk_dispatch); default: "
+                             "per-metric tuned value from CHUNK_DEFAULTS")
     parser.add_argument("--metric",
                         choices=["pointcloud", "velocity", "combined", "ground",
                                  "capon", "bartlett", "scaling"],
@@ -199,6 +214,19 @@ def main():
                         help="measure achievable HBM GB/s and f32 TFLOP/s on "
                              "the attached chip, persist PEAKS_MEASURED.json, "
                              "then exit")
+    parser.add_argument("--verify", action="store_true",
+                        help="run every fused pipeline on identical simulated "
+                             "inputs on the default device AND a CPU-oracle "
+                             "subprocess, record per-leaf deltas in "
+                             "VERIFY_MEASURED.json, exit nonzero on "
+                             "disagreement (utils/verify.py)")
+    parser.add_argument("--verify-metrics", default=None,
+                        help="comma list of metrics for --verify "
+                             "(default: all fused pipelines)")
+    parser.add_argument("--verify-dump", default=None, metavar="NPZ",
+                        help="internal: compute the oracle outputs on THIS "
+                             "process's backend and save to NPZ, then exit "
+                             "(spawned with JAX_PLATFORMS=cpu by --verify)")
     parser.add_argument("--peak-tflops", type=float, default=None,
                         help="chip float32 matmul peak for MFU (default: "
                              "TPU v5e-class 49 f32 TFLOP/s)")
@@ -217,6 +245,45 @@ def main():
         return
 
     import jax
+
+    if args.verify_dump:
+        # CPU-oracle subprocess: the parent set JAX_PLATFORMS=cpu before
+        # spawn, so the sitecustomize jax import already picked CPU; pin the
+        # config too for belt-and-braces (backends initialize lazily).
+        from mmwave_radar_processing_tpu.utils import verify as verify_mod
+
+        jax.config.update("jax_platforms", "cpu")
+        metrics = (args.verify_metrics.split(",") if args.verify_metrics
+                   else list(verify_mod.VERIFY_METRICS))
+        verify_mod.dump_oracle(metrics, batch=min(args.batch, 32),
+                               out_npz=args.verify_dump)
+        return
+
+    if args.verify:
+        from mmwave_radar_processing_tpu.utils import verify as verify_mod
+
+        cache_dir = os.path.join(_HERE, ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        metrics = (args.verify_metrics.split(",") if args.verify_metrics
+                   else list(verify_mod.VERIFY_METRICS))
+        report = verify_mod.run_verify(
+            metrics, batch=min(args.batch, 32),
+            out_path=os.path.join(_HERE, "VERIFY_MEASURED.json"))
+        worst = min((l.get("agree_frac", 1.0) for l in report["leaves"]),
+                    default=1.0)
+        print(json.dumps({
+            "metric": "on-chip parity vs CPU oracle (min leaf agreement)",
+            "value": round(worst, 5),
+            "unit": "fraction",
+            "vs_baseline": None,
+            "ok": report["ok"],
+            "device": report["device"],
+            "n_leaves": len(report["leaves"]),
+            "detail": "VERIFY_MEASURED.json",
+        }))
+        sys.exit(0 if report["ok"] else 1)
 
     if args.calibrate:
         from mmwave_radar_processing_tpu.utils.roofline import measure_peaks
@@ -252,8 +319,13 @@ def main():
     )
 
     cfg = _flagship_config()
+    chunks = args.chunks if args.chunks is not None else CHUNK_DEFAULTS.get(
+        args.metric, 1)
+    if args.metric == "ground":
+        chunks = 1  # stateful temporal scan: chunking would reset state
+    total_batch = args.batch * max(1, chunks)
     rng = np.random.default_rng(0)
-    shape = (args.batch, cfg.num_rx_antennas, cfg.num_adc_samples,
+    shape = (total_batch, cfg.num_rx_antennas, cfg.num_adc_samples,
              cfg.chirps_per_frame)
     raw_re = jax.device_put(rng.standard_normal(shape).astype(np.float32))
     raw_im = jax.device_put(rng.standard_normal(shape).astype(np.float32))
@@ -272,7 +344,7 @@ def main():
         )
 
         fn = build_velocity_pipeline(cfg)
-        altitudes = jax.device_put(np.full(args.batch, 1.2, np.float32))
+        altitudes = jax.device_put(np.full(total_batch, 1.2, np.float32))
         bench_args = (raw_re, raw_im, altitudes)
         metric_name = "radar frames/s/chip (fused RadVel ego-velocity)"
     elif args.metric == "combined":
@@ -281,7 +353,7 @@ def main():
         )
 
         fn = build_full_pipeline(cfg)
-        altitudes = jax.device_put(np.full(args.batch, 1.2, np.float32))
+        altitudes = jax.device_put(np.full(total_batch, 1.2, np.float32))
         bench_args = (raw_re, raw_im, altitudes)
         metric_name = "radar frames/s/chip (point clouds + ego-velocity)"
     elif args.metric in ("capon", "bartlett"):
@@ -301,6 +373,11 @@ def main():
         fn = build_ground_point_cloud_pipeline(cfg)
         bench_args = (raw_re, raw_im)
         metric_name = "radar frames/s/chip (altimeter-gated ground scan)"
+
+    if chunks > 1:
+        from mmwave_radar_processing_tpu.parallel.pipeline import chunk_dispatch
+
+        fn = chunk_dispatch(fn, chunks)
 
     # Timing protocol: on the tunneled axon runtime, execution is fully async
     # and ``block_until_ready`` resolves without waiting for the device — only
@@ -338,7 +415,7 @@ def main():
             out = fn(*arg_sets[i % 2])
         fence(out)
         dt = time.perf_counter() - t0
-        best = max(best, args.iters * args.batch / dt)
+        best = max(best, args.iters * total_batch / dt)
 
     base_fps, base_note = load_measured_baseline(args.metric)
     result = {
@@ -349,7 +426,11 @@ def main():
         "baseline_frames_per_s": base_fps,
         "baseline_workload": base_note,
     }
-    result.update(_roofline_fields(fn, bench_args, args, cfg, best))
+    if chunks > 1:
+        result["chunks_per_dispatch"] = chunks
+    result.update(
+        _roofline_fields(fn, bench_args, args, cfg, best,
+                         frames_per_dispatch=total_batch))
     print(json.dumps(result))
 
 
@@ -393,7 +474,8 @@ def run_scaling(args) -> None:
     print(json.dumps(result))
 
 
-def _roofline_fields(fn, bench_args, args, cfg, frames_per_s) -> dict:
+def _roofline_fields(fn, bench_args, args, cfg, frames_per_s,
+                     frames_per_dispatch=None) -> dict:
     """MFU / roofline accounting for the timed pipeline.
 
     FLOP and HBM-byte counts come from the compiled executable's own
@@ -406,13 +488,14 @@ def _roofline_fields(fn, bench_args, args, cfg, frames_per_s) -> dict:
     from mmwave_radar_processing_tpu.utils import roofline
 
     source = "xla_cost_analysis"
+    n_frames = frames_per_dispatch or args.batch
     flops_per_frame = bytes_per_frame = None
     try:
         ca = fn.lower(*bench_args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops_per_frame = float(ca["flops"]) / args.batch
-        bytes_per_frame = float(ca["bytes accessed"]) / args.batch
+        flops_per_frame = float(ca["flops"]) / n_frames
+        bytes_per_frame = float(ca["bytes accessed"]) / n_frames
     except Exception:
         model = roofline.analytic_cost(args.metric, cfg)
         if model is not None:
@@ -462,7 +545,7 @@ def _roofline_fields(fn, bench_args, args, cfg, frames_per_s) -> dict:
             fields["dispatch_overhead_ms"] = peaks["dispatch_overhead_ms"]
             fields["dispatch_overhead_share"] = round(
                 peaks["dispatch_overhead_ms"] / 1e3
-                / (args.batch / frames_per_s), 4)
+                / (n_frames / frames_per_s), 4)
     except (OSError, KeyError, ValueError):
         pass
     return fields

@@ -92,8 +92,8 @@ def prominences_ansv(x: jax.Array, peak_mask: jax.Array) -> jax.Array:
     """O(N log N) prominence — recorded NEGATIVE RESULT on TPU; do not wire in.
 
     Same contract and bit-identical output as :func:`prominences` (every op
-    is a comparison, min, or max — no rounding; asserted exhaustively in
-    ``tests/test_ops.py``): the nearest strictly-higher sample on each side
+    is a comparison, min, or max — no rounding; asserted across a randomized
+    size/tie/monotone sweep in ``tests/test_ops.py``): the nearest strictly-higher sample on each side
     is located by a binary descent over a doubling range-max table (skip a
     2^k block iff its max is <= x[i] — the greedy skip sequence is exactly
     the binary decomposition of the true distance), and each side's base is

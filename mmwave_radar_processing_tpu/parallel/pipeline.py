@@ -237,6 +237,84 @@ def _build_pipeline_mxu(
     return jax.jit(jax.vmap(single_frame))
 
 
+def chunk_dispatch(pipeline_fn, num_chunks: int):
+    """Amortize the fixed per-program dispatch cost over ``num_chunks`` batches.
+
+    On the tunneled axon runtime every program *execution* carries a measured
+    ~2.39 ms fixed cost (``PEAKS_MEASURED.json``) — 41% of the north-star
+    dispatch at batch 1024.  Growing the batch monolithically is a recorded
+    negative result (XLA scheduling degrades super-linearly past ~0.5 GB of
+    live input; BENCH_SELF.md).  This wrapper takes the third path: ONE
+    program execution ``lax.scan``-s ``pipeline_fn`` over ``num_chunks``
+    leading-axis chunks, so the compiled *step* (and its live working set)
+    stays at the proven batch-1024 shape while the fixed cost divides by
+    ``num_chunks``.
+
+    Semantics: bit-identical to calling ``pipeline_fn`` on each chunk and
+    concatenating (asserted in ``tests/test_parallel.py``).  The per-frame
+    loop this replaces in the reference is
+    ``/root/reference/mmwave_radar_processing/processors/point_cloud_generator.py:108-140``
+    (one frame per Python call).
+
+    Args:
+        pipeline_fn: frame-batched function; every positional arg shares the
+            leading batch axis.
+        num_chunks: logical batches per program execution.  The wrapped
+            function expects leading axes of ``num_chunks *`` the original
+            chunk size.
+    """
+    if num_chunks <= 1:
+        return pipeline_fn
+
+    def wrapped(*args):
+        def split(a):
+            b = a.shape[0]
+            if b % num_chunks:
+                raise ValueError(
+                    f"leading axis {b} not divisible by num_chunks={num_chunks}"
+                )
+            return a.reshape((num_chunks, b // num_chunks) + a.shape[1:])
+
+        stacked = tuple(split(a) for a in args)
+
+        def body(carry, xs):
+            return carry, pipeline_fn(*xs)
+
+        _, out = jax.lax.scan(body, None, stacked)
+        return jax.tree.map(
+            lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), out
+        )
+
+    return jax.jit(wrapped)
+
+
+def chunk_dispatch_unrolled(pipeline_fn, num_chunks: int):
+    """Unrolled sibling of :func:`chunk_dispatch`: static slices, no scan.
+
+    The scan form pays dynamic-slice/update machinery per step; here XLA sees
+    ``num_chunks`` literal copies of the pipeline over static input slices
+    and may schedule across them.  Compile time and code size grow ~K-fold.
+    Same bit-identical contract.
+    """
+    if num_chunks <= 1:
+        return pipeline_fn
+
+    def wrapped(*args):
+        b = args[0].shape[0]
+        if b % num_chunks:
+            raise ValueError(
+                f"leading axis {b} not divisible by num_chunks={num_chunks}"
+            )
+        step = b // num_chunks
+        outs = [
+            pipeline_fn(*(a[i * step:(i + 1) * step] for a in args))
+            for i in range(num_chunks)
+        ]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+
+    return jax.jit(wrapped)
+
+
 def shard_pipeline(pipeline_fn, mesh: Mesh, axis: str = "data"):
     """Shard a frame-batched pipeline over ``axis`` of the mesh.
 

@@ -1,0 +1,258 @@
+"""On-chip verification harness: device pipelines vs the CPU parity oracle.
+
+The test suite pins itself to CPU (``tests/conftest.py``) because the
+tunneled axon TPU runtime rejects complex dtypes and compiles remotely in
+minutes — so by itself it never certifies that the *device* path (the
+split-complex MXU formulations in ``ops/mxu.py``) matches the CPU oracle on
+the actual chip.  This module closes that gap reproducibly:
+``python bench.py --verify`` runs every fused pipeline on identical
+simulated inputs twice — once on the default device (the TPU under the
+driver) and once in a CPU subprocess — and records per-leaf deltas in
+``VERIFY_MEASURED.json``.
+
+Role model: the reference's integration check runs its full pipeline on real
+recordings and eyeballs/asserts the outputs
+(``/root/reference/tests/verify_processors.py:118-154``); here the CPU run
+*is* the oracle (it is itself parity-tested against the live reference in
+``tests/test_parity_*.py``), so the device run is transitively certified
+against the reference.
+
+Pass criteria (see :func:`compare_outputs`): discrete decisions (detection
+counts, validity masks, peak/bin indices) must agree on >= ``MIN_DISCRETE_
+AGREEMENT`` of elements — TPU f32 matmuls accumulate in a different order
+than CPU, so a borderline CFAR comparison or an argmax tie can legitimately
+flip — and float leaves must agree to ``FLOAT_ATOL`` wherever the discrete
+decisions agree.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from typing import Dict, Sequence
+
+import numpy as np
+
+#: metrics covered by the verify pass (every fused device pipeline)
+VERIFY_METRICS = ("pointcloud", "velocity", "combined", "ground", "capon",
+                  "bartlett")
+
+#: minimum fraction of exactly-agreeing elements for int/bool leaves
+MIN_DISCRETE_AGREEMENT = 0.99
+#: max |device - oracle| for float leaves, computed only where the frame's
+#: discrete decisions agree (a flipped detection legitimately moves points)
+FLOAT_ATOL = 2e-2
+#: relative scale: leaves with magnitudes >> 1 (dB maps) use atol * scale
+FLOAT_RTOL = 1e-3
+
+
+def make_inputs(cfg, batch: int, seed: int = 7):
+    """Deterministic simulated down-facing frames shared by both runs.
+
+    Ground cone + nadir return (what the altimeter/velocity paths expect)
+    plus 1-3 discrete point targets per frame, so CFAR detections, AoA picks
+    and RANSAC fits all exercise their real code paths.
+    """
+    from mmwave_radar_processing_tpu.data import (
+        PointTarget,
+        ground_scene,
+        simulate_frames,
+    )
+
+    rng = np.random.default_rng(seed)
+    scenes = []
+    for i in range(batch):
+        alt = 0.9 + 0.4 * rng.random()
+        scene = ground_scene(
+            cfg, altitude_m=alt,
+            ego_vel=(0.3 * rng.standard_normal(), 0.2 * rng.standard_normal(),
+                     0.1 * rng.standard_normal()),
+            num_patches=32, rng=rng,
+        )
+        for _ in range(int(rng.integers(1, 4))):
+            scene.targets.append(PointTarget(
+                range_m=float(rng.uniform(0.4, 0.9) * cfg.range_max_m),
+                azimuth_rad=float(rng.uniform(-0.8, 0.8)),
+                elevation_rad=float(rng.uniform(-0.4, 0.4)),
+                velocity_m_s=float(rng.uniform(-0.5, 0.5) * cfg.vel_max_m_s),
+                rcs=float(rng.uniform(2.0, 8.0)),
+            ))
+        scenes.append(scene)
+    raw = simulate_frames(cfg, scenes, rng=np.random.default_rng(seed + 1))
+    raw_re = np.ascontiguousarray(raw.real, np.float32)
+    raw_im = np.ascontiguousarray(raw.imag, np.float32)
+    altitudes = (0.9 + 0.4 * np.random.default_rng(seed + 2)
+                 .random(batch)).astype(np.float32)
+    return raw_re, raw_im, altitudes
+
+
+def _build_fn(cfg, metric: str):
+    from bench import AZ_IDXS, CFAR_PARAMS, EL_IDXS  # repo-root bench.py
+
+    if metric == "pointcloud":
+        from mmwave_radar_processing_tpu.parallel.pipeline import (
+            build_point_cloud_pipeline,
+        )
+
+        fn = build_point_cloud_pipeline(
+            cfg, az_antenna_idxs=AZ_IDXS, el_antenna_idxs=EL_IDXS,
+            cfar_params=CFAR_PARAMS, max_dets=128, backend="mxu",
+        )
+        return fn, False
+    if metric == "velocity":
+        from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
+            build_velocity_pipeline,
+        )
+
+        return build_velocity_pipeline(cfg), True
+    if metric == "combined":
+        from mmwave_radar_processing_tpu.parallel.full_pipeline import (
+            build_full_pipeline,
+        )
+
+        return build_full_pipeline(cfg), True
+    if metric == "ground":
+        from mmwave_radar_processing_tpu.parallel.ground_pipeline import (
+            build_ground_point_cloud_pipeline,
+        )
+
+        return build_ground_point_cloud_pipeline(cfg), False
+    if metric in ("capon", "bartlett"):
+        from mmwave_radar_processing_tpu.parallel.capon_pipeline import (
+            build_capon_pipeline,
+        )
+
+        return (build_capon_pipeline(cfg, antenna_idxs=AZ_IDXS, method=metric),
+                False)
+    raise ValueError(f"unknown verify metric {metric!r}")
+
+
+def compute_outputs(cfg, metrics: Sequence[str], batch: int,
+                    seed: int = 7) -> Dict[str, np.ndarray]:
+    """Run each metric's fused pipeline; flatten outputs to named host arrays.
+
+    Keys are ``{metric}/{leaf_path}``; values are numpy (host-fetched).
+    Runs on whatever JAX backend the process is configured for — the caller
+    decides CPU oracle vs device.
+    """
+    import jax
+
+    raw_re, raw_im, altitudes = make_inputs(cfg, batch, seed)
+    out: Dict[str, np.ndarray] = {}
+    for metric in metrics:
+        fn, needs_alt = _build_fn(cfg, metric)
+        args = (raw_re, raw_im) + ((altitudes,) if needs_alt else ())
+        args = tuple(jax.device_put(a) for a in args)
+        res = fn(*args)
+        leaves = jax.tree_util.tree_flatten_with_path(res)[0]
+        for path, leaf in leaves:
+            name = "/".join(
+                getattr(p, "name", None) or str(getattr(p, "idx", p))
+                for p in path
+            ) or "out"
+            out[f"{metric}/{name}"] = np.asarray(leaf)
+    return out
+
+
+def compare_outputs(oracle: Dict[str, np.ndarray],
+                    device: Dict[str, np.ndarray]) -> dict:
+    """Per-leaf agreement report + overall pass/fail."""
+    leaves = []
+    ok_all = True
+    for key in sorted(oracle):
+        o, d = oracle[key], device.get(key)
+        entry = {"leaf": key, "shape": list(o.shape), "dtype": str(o.dtype)}
+        if d is None:
+            entry.update(status="missing_on_device", ok=False)
+            ok_all = False
+            leaves.append(entry)
+            continue
+        if np.issubdtype(o.dtype, np.floating):
+            delta = np.abs(o.astype(np.float64) - d.astype(np.float64))
+            scale = max(1.0, float(np.max(np.abs(o))) if o.size else 1.0)
+            tol = FLOAT_ATOL + FLOAT_RTOL * scale
+            frac = float(np.mean(delta <= tol)) if o.size else 1.0
+            entry.update(
+                max_abs_delta=float(delta.max()) if o.size else 0.0,
+                p999_abs_delta=float(np.quantile(delta, 0.999)) if o.size
+                else 0.0,
+                tol=tol,
+                agree_frac=frac,
+                ok=frac >= MIN_DISCRETE_AGREEMENT,
+            )
+        else:
+            agree = float(np.mean(o == d)) if o.size else 1.0
+            entry.update(
+                agree_frac=agree,
+                mismatches=int(np.sum(o != d)),
+                ok=agree >= MIN_DISCRETE_AGREEMENT,
+            )
+        ok_all = ok_all and entry["ok"]
+        leaves.append(entry)
+    return {"ok": ok_all, "leaves": leaves}
+
+
+def run_verify(metrics: Sequence[str], batch: int, seed: int = 7,
+               out_path: str | None = None) -> dict:
+    """Device-vs-CPU-oracle verification; writes ``VERIFY_MEASURED.json``.
+
+    The oracle runs in a subprocess with ``JAX_PLATFORMS=cpu`` and the axon
+    pool disabled (CLAUDE.md: subprocesses must never touch the tunnel);
+    the device run happens in THIS process on its default backend.
+    """
+    import jax
+
+    from mmwave_radar_processing_tpu.config import load_cfg
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cfg = load_cfg(os.path.join(here, "configs", "6843_RadVel_ods_20Hz.cfg"),
+                   array_geometry="ods", array_direction="down")
+
+    with tempfile.TemporaryDirectory() as td:
+        oracle_npz = os.path.join(td, "oracle.npz")
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "bench.py"),
+             "--verify-dump", oracle_npz, "--batch", str(batch),
+             "--verify-metrics", ",".join(metrics)],
+            env=env, cwd=here, capture_output=True, text=True, timeout=1800,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"CPU oracle subprocess failed:\n{proc.stderr[-4000:]}")
+        with np.load(oracle_npz) as z:
+            oracle = {k: z[k] for k in z.files}
+
+    device = compute_outputs(cfg, metrics, batch, seed)
+    report = compare_outputs(oracle, device)
+    report.update(
+        batch=batch,
+        seed=seed,
+        metrics=list(metrics),
+        device=str(jax.devices()[0]),
+        measured_at=time.strftime("%Y-%m-%dT%H:%M:%S"),
+        criteria=dict(min_discrete_agreement=MIN_DISCRETE_AGREEMENT,
+                      float_atol=FLOAT_ATOL, float_rtol=FLOAT_RTOL),
+    )
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1)
+    return report
+
+
+def dump_oracle(metrics: Sequence[str], batch: int, out_npz: str,
+                seed: int = 7) -> None:
+    """CPU-subprocess entry: compute oracle outputs and save to ``out_npz``."""
+    from mmwave_radar_processing_tpu.config import load_cfg
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cfg = load_cfg(os.path.join(here, "configs", "6843_RadVel_ods_20Hz.cfg"),
+                   array_geometry="ods", array_direction="down")
+    out = compute_outputs(cfg, metrics, batch, seed)
+    np.savez(out_npz, **out)

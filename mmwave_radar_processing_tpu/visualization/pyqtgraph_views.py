@@ -262,6 +262,9 @@ def get_pg_view_classes() -> Dict[str, type]:
             cb_plot.addItem(cb_img)
             cb_plot.setYRange(self.min_vel, self.max_vel, padding=0)
             layout.addWidget(cbw)
+            # kept as attributes so headless tests can assert the gradient
+            # extents (the round-2 matplotlib colorbar bug class)
+            self._cb_img, self._cb_plot = cb_img, cb_plot
 
         def update_view(self, payload) -> None:
             data = payload.get("data") if isinstance(payload, dict) else payload

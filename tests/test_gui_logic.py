@@ -403,3 +403,162 @@ def test_qt_main_window_offscreen(shell):
     assert win.logic.panel.assignments[2] == "micro_doppler_resp"
     win.close()
     del app
+
+
+# --- pyqtgraph tier, executed headless via the fake-module shim ------------- #
+# (pg_shim.py): every Pg view class's math — dB conversion, [y,x]->[x,y]
+# transposes, setRect physical extents, LUT coloring — runs for real; only
+# the Qt/GL surface is doubled.  Reference anchors:
+# views/range_doppler_view.py:39-78, views/point_cloud_view.py:26-156.
+@pytest.fixture()
+def pg_classes(monkeypatch):
+    import pg_shim
+
+    pg_shim.install(monkeypatch)
+    from mmwave_radar_processing_tpu.visualization import pyqtgraph_views
+
+    assert pyqtgraph_views.pyqtgraph_available()
+    return pyqtgraph_views.get_pg_view_classes()
+
+
+def _rect_tuple(rect):
+    return (rect.x(), rect.y(), rect.width(), rect.height())
+
+
+def test_pg_registry_covers_matplotlib_tier(pg_classes):
+    from mmwave_radar_processing_tpu.visualization.views import VIEW_CLASSES
+
+    assert set(pg_classes) >= set(VIEW_CLASSES) - {
+        "sequential_detector", "ground_detector"}
+
+
+def test_pg_heatmap_view_transpose_rect_and_db(pg_classes):
+    view = pg_classes["range_angle"](db_mode=False)
+    data = np.random.default_rng(0).random((10, 20)) + 0.1
+    rb, ab = np.linspace(0, 10, 10), np.linspace(-1, 1, 20)
+    payload = {"data": data, "range_bins": rb, "angle_bins": ab}
+    view.set_data(payload)
+    assert view.latest_payload is payload
+    # processor output is [range, angle]; pg images index [x=angle, y=range]
+    np.testing.assert_allclose(view.image.image, np.abs(data).T)
+    assert view.image.auto_levels is True
+    assert _rect_tuple(view.image.rect) == pytest.approx(
+        (ab[0], rb[0], ab[-1] - ab[0], rb[-1] - rb[0]))
+    assert view.plot.title.endswith("(mag)")
+    view.set_db_mode(True)  # re-renders the cached payload in dB
+    np.testing.assert_allclose(view.image.image, _db(data.T))
+    assert view.plot.title.endswith("(dB)")
+    assert view.image.lut is not None  # viridis LUT installed
+
+
+def test_pg_range_doppler_and_micro_doppler_views(pg_classes):
+    data = np.random.default_rng(3).random((12, 18)) + 0.1
+    rd = pg_classes["range_doppler"](db_mode=True)
+    rd.set_data({"data": data, "range_bins": np.linspace(0, 5, 12),
+                 "vel_bins": np.linspace(-2, 2, 18)})
+    np.testing.assert_allclose(rd.image.image, _db(data.T))
+
+    md = pg_classes["micro_doppler"](db_mode=False)
+    md.set_data({"data": data, "vel_bins": np.linspace(-5, 5, 12),
+                 "time_bins": np.linspace(0, 2, 18)})
+    np.testing.assert_allclose(md.image.image, np.abs(data).T)
+
+
+def test_pg_doppler_azimuth_zoomed_bins_precedence(pg_classes):
+    view = pg_classes["doppler_azimuth"](db_mode=False)
+    data = np.random.default_rng(2).random((15, 25)) + 0.1
+    base = {"data": data, "vel_bins": np.linspace(-5, 5, 15),
+            "valid_angle_bins": np.linspace(-1, 1, 25)}
+    view.set_data(base)
+    assert view.image.rect.y() == pytest.approx(-5.0)
+    zoomed = np.linspace(-0.3, 0.3, 15)
+    view.set_data(dict(base, zoomed_vel_bins=zoomed))
+    assert view.image.rect.y() == pytest.approx(zoomed[0])
+    # a zoomed grid that does NOT match the data rows is ignored
+    view.set_data(dict(base, zoomed_vel_bins=zoomed[:7]))
+    assert view.image.rect.y() == pytest.approx(-5.0)
+
+
+def test_pg_range_response_view(pg_classes):
+    view = pg_classes["range_response"](db_mode=False)
+    data = np.random.default_rng(4).random(64) + 0.1
+    rb = np.linspace(0, 4, 64)
+    view.set_data({"data": data, "range_bins": rb})
+    np.testing.assert_allclose(view.curve.y, data)
+    np.testing.assert_allclose(view.curve.x, rb)
+    view.set_db_mode(True)
+    np.testing.assert_allclose(view.curve.y, _db(data))
+
+
+def test_pg_range_doppler_detector_view(pg_classes):
+    view = pg_classes["range_doppler_detector"](db_mode=False)
+    resp = np.random.default_rng(5).random((12, 18)) + 0.1
+    rb, vb = np.linspace(0, 5, 12), np.linspace(-2, 2, 18)
+    dets = np.array([[3, 4], [7, 10]])
+    view.set_data({"data": dets, "rng_dop_resp": resp,
+                   "range_bins": rb, "vel_bins": vb})
+    np.testing.assert_allclose(view.image.image, np.abs(resp).T)
+    np.testing.assert_allclose(view.markers.x, vb[dets[:, 1]])
+    np.testing.assert_allclose(view.markers.y, rb[dets[:, 0]])
+    # empty detection set clears the markers without crashing
+    view.set_data({"data": np.empty((0, 2), int), "rng_dop_resp": resp,
+                   "range_bins": rb, "vel_bins": vb})
+    assert view.markers.x.size == 0
+
+
+def test_pg_range_detector_view(pg_classes):
+    view = pg_classes["range_detector"](db_mode=False)
+    resp = np.random.default_rng(6).random(64) + 0.1
+    thr = np.full(64, 0.5)
+    thr[:5] = np.inf  # CFAR edge bins: masked out of the threshold curve
+    rb = np.linspace(0, 4, 64)
+    dets = np.array([10, 20])
+    view.set_data({"data": dets, "range_resp": resp, "thresholds": thr,
+                   "range_bins": rb})
+    np.testing.assert_allclose(view.curve.y, np.abs(resp))
+    assert view.thr_curve.x.size == 59  # only the finite threshold bins
+    np.testing.assert_allclose(view.thr_curve.y, np.full(59, 0.5))
+    np.testing.assert_allclose(view.markers.x, rb[dets])
+    np.testing.assert_allclose(view.markers.y, np.abs(resp)[dets])
+
+
+def test_pg_altitude_view(pg_classes):
+    view = pg_classes["altitude"](db_mode=False)
+    coarse = np.random.default_rng(10).random(64) + 0.1
+    view.set_data({"data": np.array(1.25), "coarse_fft_data": coarse,
+                   "range_bins": np.linspace(0, 4, 64)})
+    assert view.marker.value == pytest.approx(1.25)
+    np.testing.assert_allclose(view.curve.y, coarse)
+
+
+def test_pg_point_cloud_3d_view(pg_classes):
+    from matplotlib import pyplot as plt
+
+    view = pg_classes["point_cloud_3d"](min_vel=-0.25, max_vel=0.25)
+    pts = np.column_stack([np.random.default_rng(9).random((30, 3)),
+                           np.linspace(-1.0, 1.0, 30)])
+    view.set_data({"data": pts})
+    np.testing.assert_allclose(view.scatter.pos, pts[:, :3])
+    # velocity -> viridis with clipping to the configured window
+    # (ref point_cloud_view.py:66-68,147)
+    t = np.clip((pts[:, 3] + 0.25) / 0.5, 0.0, 1.0)
+    want = plt.get_cmap("viridis")(np.linspace(0, 1, 256))[
+        (t * 255).astype(int)]
+    np.testing.assert_allclose(view.scatter.color, want)
+    view.set_data({"data": np.empty((0, 4))})  # empty cloud clears, no crash
+    assert view.scatter.pos.shape == (0, 3)
+    # 2D registry key renders through the same GL class (single ref GL view)
+    assert issubclass(pg_classes["point_cloud"], type(view))
+
+
+def test_pg_point_cloud_colorbar_extents(pg_classes):
+    """Colorbar gradient spans exactly [min_vel, max_vel], labeled in m/s —
+    the round-2 matplotlib bug class (wrong/leaking bar)."""
+    view = pg_classes["point_cloud_3d"](min_vel=-0.5, max_vel=1.5)
+    assert _rect_tuple(view._cb_img.rect) == pytest.approx((0, -0.5, 1, 2.0))
+    assert view._cb_plot.y_range == pytest.approx((-0.5, 1.5))
+    assert view._cb_plot.getAxis("right").label == "Velocity (m/s)"
+    # gradient image is the 256-step viridis LUT
+    assert view._cb_img.image.shape[1] == 256
+
+

@@ -308,3 +308,54 @@ def test_input_feed_assembles_global_batch(flagship_config, tmp_path):
         np.testing.assert_allclose(np.asarray(alt), 0.7)
         assert re.sharding.is_equivalent_to(
             NamedSharding(mesh, P("data")), re.ndim)
+
+
+def test_chunk_dispatch_bit_identical(flagship_config, rng):
+    """One K-chunk mega-dispatch == K independent dispatches, bitwise.
+
+    ``chunk_dispatch`` exists to amortize the fixed per-program cost of the
+    tunneled runtime (PEAKS_MEASURED.json: 2.389 ms/execution) — it must be a
+    pure re-dispatch of the same compiled step, so every output leaf has to
+    match the chunk-by-chunk result exactly, not approximately.
+    """
+    from mmwave_radar_processing_tpu.parallel.pipeline import chunk_dispatch
+    from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
+        build_velocity_pipeline,
+    )
+
+    cfg = flagship_config
+    k, b = 3, 4
+    shape = (k * b, cfg.num_rx_antennas, cfg.num_adc_samples,
+             cfg.chirps_per_frame)
+    raw_re = rng.standard_normal(shape).astype(np.float32)
+    raw_im = rng.standard_normal(shape).astype(np.float32)
+
+    # point-cloud pipeline (2-arg) and velocity pipeline (3-arg, mixed pytree
+    # output) both go through the same wrapper
+    pc = build_point_cloud_pipeline(cfg, max_dets=32, backend="mxu")
+    mega_pc = chunk_dispatch(pc, k)
+    got = mega_pc(raw_re, raw_im)
+    want = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs),
+        *[pc(raw_re[i * b:(i + 1) * b], raw_im[i * b:(i + 1) * b])
+          for i in range(k)],
+    )
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    alt = np.full(k * b, 1.2, np.float32)
+    vel = build_velocity_pipeline(cfg)
+    mega_vel = chunk_dispatch(vel, k)
+    got = mega_vel(raw_re, raw_im, alt)
+    want = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs),
+        *[vel(raw_re[i * b:(i + 1) * b], raw_im[i * b:(i + 1) * b],
+              alt[i * b:(i + 1) * b]) for i in range(k)],
+    )
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # k=1 must be the identity wrapper; indivisible batches must be loud
+    assert chunk_dispatch(pc, 1) is pc
+    with pytest.raises(ValueError, match="divisible"):
+        chunk_dispatch(pc, 5)(raw_re, raw_im)
