@@ -379,7 +379,7 @@ def build_velocity_pipeline(
 
     def batch_fn(raw_re, raw_im, altitude):
         keys = jax.random.split(base_key, raw_re.shape[0])
-        if response_backend != "pallas":
+        if response_backend not in ("pallas", "pallas2"):
             return jax.vmap(single_frame)(raw_re, raw_im, altitude, keys)
         # Hoist the coarse response kernel to batch level: one frame's chirp
         # spectrum (~120 KB) makes a per-frame grid step DMA-latency-bound,
@@ -392,15 +392,39 @@ def build_velocity_pipeline(
         nvp = chv.shape[-1]
         wgt = rmask / jnp.maximum(
             jnp.sum(rmask, axis=1, keepdims=True), 1.0)
-        resp = doppler_az.set_responses_pallas_batch(
-            chv.re.reshape(b, n_virt, win_rows * nvp),
-            chv.im.reshape(b, n_virt, win_rows * nvp),
-            wgt, fct, fst, set_idx=set_idx_t, nv=nvp,
-            interpret=jax.devices()[0].platform == "cpu",
-        )
-        resp = jnp.moveaxis(resp, -1, -2)  # [B, 4, nv, Av]
-        az_resp = 0.5 * (resp[:, 0] + resp[:, 1])
-        el_resp = 0.5 * (resp[:, 2] + resp[:, 3])
+        interp = jax.devices()[0].platform == "cpu"
+        if response_backend == "pallas2":
+            # paired-lane kernel: both sets of a factor-sharing group ride
+            # side by side on the lane axis (8 rank-1s/frame instead of 16;
+            # bit-identical outputs — ops/pallas/doppler_az.py)
+            u4_re = chv.re[:, set_idx]  # [B, 4set, 4rx, W, nv]
+            u4_im = chv.im[:, set_idx]
+
+            def pair(u4):  # -> [B, 8, W*2nv] rows (group, rx)
+                g = u4.reshape(b, 2, 2, 4, win_rows, nvp)
+                g = jnp.moveaxis(g, 2, 4)  # [B, 2, 4, W, 2, nv]
+                return g.reshape(b, 8, win_rows * 2 * nvp)
+
+            resp_p = doppler_az.group_responses_pallas_batch(
+                pair(u4_re), pair(u4_im), wgt,
+                fct[:, (0, 1, 2, 3, 8, 9, 10, 11)],
+                fst[:, (0, 1, 2, 3, 8, 9, 10, 11)],
+                n_groups=2, n_rx=4, nv2=2 * nvp, interpret=interp,
+            )  # [B, 2, Av, 2nv]
+            az_resp = 0.5 * (resp_p[:, 0, :, :nvp] + resp_p[:, 0, :, nvp:])
+            el_resp = 0.5 * (resp_p[:, 1, :, :nvp] + resp_p[:, 1, :, nvp:])
+            az_resp = jnp.moveaxis(az_resp, -1, -2)  # [B, nv, Av]
+            el_resp = jnp.moveaxis(el_resp, -1, -2)
+        else:
+            resp = doppler_az.set_responses_pallas_batch(
+                chv.re.reshape(b, n_virt, win_rows * nvp),
+                chv.im.reshape(b, n_virt, win_rows * nvp),
+                wgt, fct, fst, set_idx=set_idx_t, nv=nvp,
+                interpret=interp,
+            )
+            resp = jnp.moveaxis(resp, -1, -2)  # [B, 4, nv, Av]
+            az_resp = 0.5 * (resp[:, 0] + resp[:, 1])
+            el_resp = 0.5 * (resp[:, 2] + resp[:, 3])
         return jax.vmap(frame_back)(rng_w, rmask, az_resp, el_resp, keys)
 
     return jax.jit(batch_fn)

@@ -121,9 +121,9 @@ def analytic_cost(metric: str, cfg: RadarConfig, **kw) -> "CostModel | None":
 
 def measure_peaks(
     *,
-    bw_mbs=(128, 512, 1024),
+    bw_mbs=(16, 32, 64, 128, 256, 512, 1024),
     matmul_n: int = 4096,
-    iters: int = 10,
+    iters: int = 60,
     repeats: int = 3,
 ) -> dict:
     """Calibrated *achievable* peaks on the attached chip (GB/s, TFLOP/s).
@@ -148,6 +148,11 @@ def measure_peaks(
     Timing uses the axon-correct fetch fence (``block_until_ready`` does not
     block on that runtime): enqueue ``iters`` dependent calls, host-fetch one
     element of the last result.  Best of ``repeats`` (tunnel runs vary ~20%).
+    ``iters`` must be large: the single ~25-40 ms fetch round trip amortizes
+    over all enqueued calls, so at the old default of 10 it charged ~3 ms to
+    every per-dispatch time — which is exactly what round 1-3's
+    "2.39 ms fixed dispatch overhead" mostly was (round-4 re-measurement;
+    BENCH_SELF.md "the dispatch-overhead correction").
     """
     import time
 
@@ -183,14 +188,36 @@ def measure_peaks(
         bw_by_size[int(mb)] = round(traffic / dt_bw / 1e9, 1)
         times.append(dt_bw)
         traffics.append(traffic)
-    # Measured curves show a large fixed per-dispatch cost on the tunneled
-    # runtime (~2.5-3 ms), so the apparent GB/s keeps climbing with size.
-    # Fit dt = overhead + bytes/BW: the slope is the *marginal* streaming
-    # bandwidth (the honest sustained rate), the intercept the per-dispatch
-    # overhead every timed program also pays.
+    # Fit dt = intercept + bytes/BW: the slope is the *marginal* streaming
+    # bandwidth (the honest sustained rate).  The intercept is NOT a pure
+    # per-program cost — round-4 falsification (scripts/calibrate_overhead.py,
+    # scripts/ab_overhead.py): effective bandwidth genuinely degrades at
+    # small sizes, so a sparse sweep inflates the intercept (the original
+    # 3-point fit read 2.39 ms where a 7-point fit reads ~0.85 ms).  The
+    # per-PROGRAM cost is measured directly below instead.
     slope, intercept = np.polyfit(np.asarray(traffics), np.asarray(times), 1)
     hbm_gbs = 1.0 / slope / 1e9
-    dispatch_overhead_ms = max(0.0, intercept * 1e3)
+
+    # Direct per-program-execution cost: K stream kernels inside ONE program
+    # (optimization_barrier defeats fusion into a single read+write) vs K
+    # separate dispatches of the same kernel.  saving/(K-1) isolates the
+    # fixed cost one program execution carries; measured ~0.4-0.9 ms on the
+    # tunneled runtime (round 4), NOT the old intercept's 2.39 ms.
+    k_merge = 8
+    import jax.lax as lax
+
+    @jax.jit
+    def stream_k(x):
+        for _ in range(k_merge):
+            x = lax.optimization_barrier(x * 1.000001 + 1e-7)
+        return x
+
+    n1 = 128 * (1 << 20) // 4
+    x1 = jax.device_put(jnp.ones((n1,), jnp.float32))
+    t_one = timed(stream, x1)
+    t_k = timed(stream_k, x1)
+    dispatch_overhead_ms = max(0.0, (k_merge * t_one - t_k) / (k_merge - 1)
+                               * 1e3)
 
     @jax.jit
     def mm(a):
@@ -207,6 +234,10 @@ def measure_peaks(
         "measured_hbm_gbs": round(hbm_gbs, 1),
         "measured_f32_tflops": round(tflops, 2),
         "dispatch_overhead_ms": round(dispatch_overhead_ms, 3),
+        "overhead_method": (
+            f"direct: (K*t1 - tK)/(K-1), K={k_merge} barrier-separated "
+            "stream kernels merged into one program (128 MB)"),
+        "fit_intercept_ms": round(max(0.0, float(intercept)) * 1e3, 3),
         "hbm_gbs_by_size_mb": bw_by_size,
         "matmul_n": matmul_n,
         "device": str(jax.devices()[0]),

@@ -158,13 +158,96 @@ def compute_outputs(cfg, metrics: Sequence[str], batch: int,
     return out
 
 
+#: minimum mean per-frame intersection-over-union for compacted point sets
+MIN_POINTS_IOU = 0.95
+#: fraction of frames whose detection count must agree within +/-2
+MIN_COUNT_NEAR = 0.90
+
+
+def _point_set_report(o_pts, o_valid, d_pts, d_valid, tol: float) -> dict:
+    """Per-frame set-IoU for fixed-capacity ``(points, valid)`` outputs.
+
+    A single borderline CFAR flip (the device's default-precision matmul
+    DFTs differ from CPU f32 at ~1e-3 relative, so noise-level threshold
+    comparisons legitimately flip) SHIFTS the row-major compaction — every
+    later slot then holds a different point, so positional comparison
+    reads ~0.4% of flipped decisions as ~40% "disagreement".  The honest
+    metric is set overlap: match valid rows within ``tol`` (greedy nearest).
+    """
+    ious = []
+    for f in range(o_pts.shape[0]):
+        a = o_pts[f][o_valid[f].astype(bool)]
+        b = d_pts[f][d_valid[f].astype(bool)]
+        if not len(a) and not len(b):
+            ious.append(1.0)
+            continue
+        if not len(a) or not len(b):
+            ious.append(0.0)
+            continue
+        d2 = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+        used = np.zeros(len(b), bool)
+        hits = 0
+        for i in np.argsort(d2.min(axis=1)):
+            j = int(np.argmin(np.where(used, np.inf, d2[i])))
+            if not used[j] and d2[i, j] <= tol:
+                used[j] = True
+                hits += 1
+        ious.append(hits / (len(a) + len(b) - hits))
+    return {"set_iou_mean": float(np.mean(ious)),
+            "set_iou_min": float(np.min(ious))}
+
+
 def compare_outputs(oracle: Dict[str, np.ndarray],
                     device: Dict[str, np.ndarray]) -> dict:
-    """Per-leaf agreement report + overall pass/fail."""
+    """Per-leaf agreement report + overall pass/fail.
+
+    Fixed-capacity compacted sets (``*/points`` with a sibling ``*/valid``)
+    are scored as per-frame sets (:func:`_point_set_report`); their sibling
+    ``*/count`` passes when nearly all frames agree within +/-2 (each
+    borderline CFAR flip moves the count by one).  All other leaves compare
+    positionally.
+    """
     leaves = []
     ok_all = True
     for key in sorted(oracle):
         o, d = oracle[key], device.get(key)
+        prefix = key.rsplit("/", 1)[0]
+        if (key.endswith("/points") or key.endswith("points")) and \
+                f"{prefix}/valid" in oracle and d is not None:
+            rep = _point_set_report(o, oracle[f"{prefix}/valid"],
+                                    d, device[f"{prefix}/valid"], tol=1e-2)
+            entry = {"leaf": key, "shape": list(o.shape),
+                     "dtype": str(o.dtype), "comparison": "set_iou",
+                     **rep,
+                     "agree_frac": rep["set_iou_mean"],
+                     "ok": rep["set_iou_mean"] >= MIN_POINTS_IOU}
+            ok_all = ok_all and entry["ok"]
+            leaves.append(entry)
+            continue
+        if key.endswith("/valid") and f"{prefix}/points" in oracle \
+                and d is not None:
+            # redundant with the set-IoU + count checks: valid is the
+            # compaction's "first count slots" mask, so each borderline
+            # flip moves exactly one slot — recorded, not gated
+            entry = {"leaf": key, "shape": list(o.shape),
+                     "dtype": str(o.dtype), "comparison": "informational",
+                     "agree_frac": float(np.mean(o == d)) if o.size else 1.0,
+                     "ok": True}
+            leaves.append(entry)
+            continue
+        if key.endswith("/count") and f"{prefix}/points" in oracle \
+                and d is not None:
+            near = float(np.mean(np.abs(o.astype(int) - d.astype(int)) <= 2))
+            entry = {"leaf": key, "shape": list(o.shape),
+                     "dtype": str(o.dtype), "comparison": "count_within_2",
+                     "agree_frac": near,
+                     "exact_frac": float(np.mean(o == d)),
+                     "max_abs_delta": int(np.max(np.abs(
+                         o.astype(int) - d.astype(int)))) if o.size else 0,
+                     "ok": near >= MIN_COUNT_NEAR}
+            ok_all = ok_all and entry["ok"]
+            leaves.append(entry)
+            continue
         entry = {"leaf": key, "shape": list(o.shape), "dtype": str(o.dtype)}
         if d is None:
             entry.update(status="missing_on_device", ok=False)
@@ -237,7 +320,9 @@ def run_verify(metrics: Sequence[str], batch: int, seed: int = 7,
         device=str(jax.devices()[0]),
         measured_at=time.strftime("%Y-%m-%dT%H:%M:%S"),
         criteria=dict(min_discrete_agreement=MIN_DISCRETE_AGREEMENT,
-                      float_atol=FLOAT_ATOL, float_rtol=FLOAT_RTOL),
+                      float_atol=FLOAT_ATOL, float_rtol=FLOAT_RTOL,
+                      min_points_set_iou=MIN_POINTS_IOU,
+                      min_count_within_2=MIN_COUNT_NEAR),
     )
     if out_path:
         with open(out_path, "w") as f:

@@ -101,6 +101,7 @@ class MmWaveRadarProcessorController:
         self.reformatter: Optional[VirtualArrayReformatter] = None
         self.adc_buffer = deque(maxlen=max_history)
         self.current_frame = 0
+        self.playback_cache = None  # PrecomputedPlayback when enabled
 
         self._view_subscribers: List[Callable] = []
         self._frame_subscribers: List[Callable] = []
@@ -194,21 +195,64 @@ class MmWaveRadarProcessorController:
                 self.logger.warning("processor %s failed to init: %s", key, e)
 
     # processing ----------------------------------------------------------- #
+    def enable_precomputed_playback(self, keys=None, batch_size: int = 64):
+        """Precompute payloads for the whole recording on the device.
+
+        Runs every coverable enabled processor's math through the batched
+        split-complex pipelines (``parallel/viewer_pipeline.py`` + the
+        ground scan) in a handful of dispatches; subsequent
+        :meth:`process_next_frame` calls serve those keys from the host
+        cache — the processing leg of a playback tick becomes a dict lookup
+        instead of the ~381 ms/frame CPU fan-out.  Uncovered processors keep
+        the per-frame path.  Returns the set of covered keys.
+        """
+        from mmwave_radar_processing_tpu.visualization.precompute import (
+            PrecomputedPlayback,
+        )
+
+        self.playback_cache = PrecomputedPlayback(self, keys=keys,
+                                                  batch_size=batch_size)
+        return self.playback_cache.build()
+
+    def disable_precomputed_playback(self) -> None:
+        self.playback_cache = None
+
     def process_next_frame(self, idx: int) -> None:
         """Fetch -> reformat -> fan out to all processors -> emit payloads.
 
         Mirrors the reference hot path (controller :200-245 + view controller
         :68-129): per-processor kwargs come verbatim from the YAML params;
         processors whose spec requires velocity receive ``velocity_ned``.
+        With :meth:`enable_precomputed_playback` active, covered keys emit
+        cached device-computed payloads instead of recomputing.
         """
         self.current_frame = idx
-        adc = self.dataset_model.get_adc_data(idx)
-        velocity_ned = self.dataset_model.get_velocity_ned(idx)
-        adc = np.asarray(self.reformatter.process(adc))
-        self.adc_buffer.append(adc)
+        cache = self.playback_cache
+        cached_keys = {
+            k for k in self.processors if cache is not None and cache.covers(k)
+        }
+        adc = velocity_ned = None
+        if set(self.processors) - cached_keys:
+            # fetch + reformat only when some processor still runs per-frame
+            adc = self.dataset_model.get_adc_data(idx)
+            velocity_ned = self.dataset_model.get_velocity_ned(idx)
+            adc = np.asarray(self.reformatter.process(adc))
+            self.adc_buffer.append(adc)
 
         for key, proc in self.processors.items():
             spec = self.registry[key]
+            if key in cached_keys:
+                payload = cache.payload(key, idx)
+                if payload is not None:
+                    # static view_keys attrs (bin grids) come off the live
+                    # processor — exact parity with the per-frame path
+                    for attr in spec.view_keys:
+                        if attr not in payload and hasattr(proc, attr):
+                            val = getattr(proc, attr)
+                            payload[attr] = (None if val is None
+                                             else np.asarray(val))
+                    self._emit_view(key, payload)
+                    continue
             # YAML params flow verbatim into process(); every processor takes
             # **kwargs, matching the reference's dynamic contract
             # (view_controller.py:85-101)
@@ -221,6 +265,11 @@ class MmWaveRadarProcessorController:
                 self.logger.warning("processor %s failed on frame %d: %s",
                                     key, idx, e)
                 continue
+            if isinstance(result, tuple):
+                # multi-output process (e.g. Doppler-azimuth precise path
+                # returns (resp, zoomed_vel_bins, row_valid)): the response
+                # is the payload data, the rest ride via view_keys attrs
+                result = result[0]
             payload = {"data": np.asarray(result)}
             for attr in spec.view_keys:
                 if hasattr(proc, attr):

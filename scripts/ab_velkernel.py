@@ -1,0 +1,91 @@
+"""Within-process A/B: velocity response kernel variants on the chip.
+
+Round-4 experiment for BENCH_SELF "responses stage ~12.8 ms, Pallas kernel
+~6 ms at ~50% VPU utilization".  Variants:
+
+- ``pallas``: round-3 per-set kernel (16 rank-1 accumulations/frame).
+- ``pallas2``: paired-lane kernel (both sets of a factor-sharing group side
+  by side on the lane axis — 8 rank-1s, half the magnitude/weighted-sum
+  passes; ``ops/pallas/doppler_az.group_responses_pallas_batch``).
+- ``xla``: the einsum formulation (negative-result baseline).
+
+Each row times the FULL velocity pipeline (fetch-fence protocol, alternating
+inputs) so the comparison includes any layout/prep cost the variant shifts
+into XLA.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _HERE)
+
+from bench import _flagship_config  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=1024)
+    parser.add_argument("--iters", type=int, default=60)
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--backends", default="pallas,pallas2")
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
+        build_velocity_pipeline,
+    )
+
+    cfg = _flagship_config()
+    shape = (args.batch, cfg.num_rx_antennas, cfg.num_adc_samples,
+             cfg.chirps_per_frame)
+    sets = []
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        sets.append((
+            jax.device_put(rng.standard_normal(shape).astype(np.float32)),
+            jax.device_put(rng.standard_normal(shape).astype(np.float32)),
+            jax.device_put(np.full(args.batch, 1.2, np.float32)),
+        ))
+
+    def fence(out):
+        leaf = jax.tree_util.tree_leaves(out)[-1]
+        return np.asarray(leaf.reshape(-1)[0])
+
+    rows = []
+    for backend in args.backends.split(","):
+        fn = build_velocity_pipeline(cfg, response_backend=backend)
+        t0 = time.perf_counter()
+        fence(fn(*sets[0]))
+        warm = time.perf_counter() - t0
+        best = 0.0
+        for _ in range(max(1, args.repeats)):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(args.iters):
+                out = fn(*sets[i % 2])
+            fence(out)
+            best = max(best,
+                       args.iters * args.batch / (time.perf_counter() - t0))
+        row = {"backend": backend, "frames_per_s": round(best, 1),
+               "ms_per_dispatch": round(args.batch / best * 1e3, 3),
+               "warmup_s": round(warm, 1)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        del fn
+    print(json.dumps({"summary": rows}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

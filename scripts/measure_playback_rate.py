@@ -131,14 +131,33 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--backend", choices=["matplotlib", "pyqtgraph"],
                     default="matplotlib")
+    ap.add_argument("--precompute", action="store_true",
+                    help="precompute-then-scrub mode: run the recording "
+                         "through the batched device pipelines once "
+                         "(controller.enable_precomputed_playback), then "
+                         "serve playback ticks from the host cache — the "
+                         "round-4 TPU-backed playback path")
+    ap.add_argument("--only-selected", action="store_true",
+                    help="enable only the 4 displayed view keys (the "
+                         "reference's 4-live-cell scenario, "
+                         "mmwave_radar_processor_controller.py:170) instead "
+                         "of the full 12-processor registry fan-out")
     args = ap.parse_args()
 
     if args.backend == "matplotlib":
         matplotlib.use("Agg")
 
     fps_proc = None
+    build_s = covered = None
     with tempfile.TemporaryDirectory() as td:
         ctl, _ = build_controller(td, n_frames=8)
+        if args.only_selected:
+            for key in list(ctl.processors):
+                if key not in KEYS:
+                    del ctl.processors[key]
+        if args.precompute:
+            covered = sorted(ctl.enable_precomputed_playback())
+            build_s = ctl.playback_cache.build_seconds
         if args.backend == "matplotlib":
             fps, fps_proc = measure_matplotlib(ctl, args.frames)
         else:
@@ -149,10 +168,18 @@ def main():
         "fps": round(fps, 2),
         "ms_per_tick": round(1000.0 / fps, 2),
         "cells": len(KEYS),
+        "precompute": bool(args.precompute),
+        "only_selected": bool(args.only_selected),
     }
     if fps_proc is not None:
         out["fps_processing_only"] = round(fps_proc, 2)
+        out["processing_ms_per_tick"] = round(1000.0 / fps_proc, 2)
         out["render_ms_per_tick"] = round(1000.0 / fps - 1000.0 / fps_proc, 2)
+    if args.precompute:
+        out["covered_keys"] = covered
+        out["precompute_build_s"] = round(build_s, 2)
+        out["precompute_build_ms_per_frame"] = round(
+            1e3 * build_s / ctl.dataset_model.num_frames, 1)
     print(json.dumps(out))
 
 

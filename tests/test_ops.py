@@ -518,3 +518,83 @@ def test_zoom_fft_fir_batch_and_guards():
         )
     with pytest.raises(ValueError, match="odd"):
         zoom_fir.lowpass_taps(32, 0.25, 2.0)
+
+
+def test_group_responses_paired_bit_identical():
+    """Paired-lane response kernel == per-set kernel (same math graph).
+
+    Same accumulation order per element (r-loop then w-loop), only lane
+    placement differs.  The backend is free to contract mul+add chains into
+    FMAs differently per layout (measured: even the per-set kernel differs
+    from an exact numpy replica by ~5e-7), so the contract is a tight
+    tolerance, not bit equality.
+    """
+    from mmwave_radar_processing_tpu.ops.pallas import doppler_az
+
+    rng = np.random.default_rng(11)
+    b, n_ch, W, nv, av = 4, 12, 6, 10, 16
+    set_idx = ((0, 3, 4, 7), (1, 2, 5, 6), (9, 8, 5, 4), (11, 10, 3, 0))
+    u_re = rng.standard_normal((b, n_ch, W, nv)).astype(np.float32)
+    u_im = rng.standard_normal((b, n_ch, W, nv)).astype(np.float32)
+    wgt = rng.random((b, W)).astype(np.float32)
+    fct = rng.standard_normal((av, 16)).astype(np.float32)
+    fst = rng.standard_normal((av, 16)).astype(np.float32)
+    # groups share factors: az cols 0-7 identical pairs, el cols 8-15
+    fct[:, 4:8], fct[:, 12:16] = fct[:, 0:4], fct[:, 8:12]
+    fst[:, 4:8], fst[:, 12:16] = fst[:, 0:4], fst[:, 8:12]
+
+    want = doppler_az.set_responses_pallas_batch(
+        u_re.reshape(b, n_ch, W * nv), u_im.reshape(b, n_ch, W * nv),
+        wgt, fct, fst, set_idx=set_idx, nv=nv, interpret=True,
+        frames_per_block=2)
+
+    si = np.asarray(set_idx)
+    u4_re, u4_im = u_re[:, si], u_im[:, si]  # [b, 4, 4, W, nv]
+
+    def pair(u4):
+        g = u4.reshape(b, 2, 2, 4, W, nv)
+        g = np.moveaxis(g, 2, 4)
+        return np.ascontiguousarray(g.reshape(b, 8, W * 2 * nv))
+
+    got = doppler_az.group_responses_pallas_batch(
+        pair(u4_re), pair(u4_im), wgt,
+        fct[:, (0, 1, 2, 3, 8, 9, 10, 11)],
+        fst[:, (0, 1, 2, 3, 8, 9, 10, 11)],
+        n_groups=2, n_rx=4, nv2=2 * nv, interpret=True, frames_per_block=2)
+
+    got_sets = np.stack([
+        np.asarray(got[:, 0, :, :nv]), np.asarray(got[:, 0, :, nv:]),
+        np.asarray(got[:, 1, :, :nv]), np.asarray(got[:, 1, :, nv:]),
+    ], axis=1)
+    np.testing.assert_allclose(got_sets, np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_velocity_pipeline_pallas2_matches_pallas():
+    """Full velocity pipeline: pallas2 backend == pallas backend outputs.
+
+    Continuous outputs match to FMA-level tolerance; the discrete gates
+    (R^2 / inlier thresholds) see far-from-threshold values on this data, so
+    the gated velocities agree too.
+    """
+    from bench import _flagship_config
+    from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (
+        build_velocity_pipeline,
+    )
+
+    cfg = _flagship_config()
+    rng = np.random.default_rng(3)
+    shape = (4, cfg.num_rx_antennas, cfg.num_adc_samples, cfg.chirps_per_frame)
+    raw_re = rng.standard_normal(shape).astype(np.float32)
+    raw_im = rng.standard_normal(shape).astype(np.float32)
+    alt = np.full(4, 1.2, np.float32)
+
+    import jax
+
+    a = build_velocity_pipeline(cfg, response_backend="pallas")(
+        raw_re, raw_im, alt)
+    b = build_velocity_pipeline(cfg, response_backend="pallas2")(
+        raw_re, raw_im, alt)
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4,
+                                   atol=1e-4)

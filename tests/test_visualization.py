@@ -195,3 +195,165 @@ def test_view_panel_model():
     got = panel.select(1, "altitude")
     assert got == {"data": 2}
     assert panel.cell_of("altitude") == 1
+
+
+# --- precompute-then-scrub playback (round-4 TPU-backed viewer) ------------- #
+def _fresh_controller(sim_dataset):
+    ds_path, pp_path = sim_dataset
+    registry = get_default_registry()
+    for k in ("range_angle_resp_dbs_enhanced", "range_doppler_detector_sequential",
+              "range_doppler_ground_detector"):
+        registry[k].enabled = False
+    return MmWaveRadarProcessorController(
+        registry=registry, dataset_params_path=ds_path,
+        processor_params_path=pp_path,
+    )
+
+
+def test_precomputed_payload_parity(sim_dataset):
+    """Precomputed (batched device pipeline) payloads == per-frame payloads.
+
+    Two fresh controllers on the same recording: one plays per-frame (the
+    reference-mirroring CPU fan-out), the other serves from the precompute
+    cache.  Every covered key's payload must match: maps to float tolerance
+    (FFT vs DFT-matmul differ at ~1e-6 relative), detection index sets and
+    stateful histories exactly/shape-wise, bins bit-identically (they come
+    off the same live processor either way).
+    """
+    from mmwave_radar_processing_tpu.visualization.precompute import COVERED
+
+    ref_ctl = _fresh_controller(sim_dataset)
+    ref_payloads = {}
+    ref_ctl.subscribe_view_update(
+        lambda k, p, store=ref_payloads: store.setdefault(k, []).append(p))
+    ref_ctl.play()
+
+    pre_ctl = _fresh_controller(sim_dataset)
+    covered = pre_ctl.enable_precomputed_playback()
+    assert covered >= {"range_doppler_resp", "range_resp",
+                       "micro_doppler_resp", "doppler_azimuth_resp",
+                       "range_doppler_detector_2d", "point_cloud_generator",
+                       "altimeter", "range_angle_resp", "range_detector",
+                       "capon_beamformer", "bartlett_beamformer"}
+    assert covered <= COVERED
+    pre_payloads = {}
+    pre_ctl.subscribe_view_update(
+        lambda k, p, store=pre_payloads: store.setdefault(k, []).append(p))
+    pre_ctl.play()
+
+    n = ref_ctl.dataset_model.num_frames
+    for key in covered:
+        assert len(pre_payloads[key]) == len(ref_payloads[key]) == n, key
+    for i in range(n):
+        for key in ("range_doppler_resp", "range_resp",
+                    "doppler_azimuth_resp", "micro_doppler_resp",
+                    "range_angle_resp", "capon_beamformer",
+                    "bartlett_beamformer"):
+            want = np.asarray(ref_payloads[key][i]["data"])
+            got = np.asarray(pre_payloads[key][i]["data"])
+            scale = max(np.max(np.abs(want[np.isfinite(want)])), 1.0)
+            finite = np.isfinite(want)
+            np.testing.assert_array_equal(finite, np.isfinite(got), err_msg=key)
+            np.testing.assert_allclose(
+                got[finite], want[finite], rtol=2e-4, atol=2e-4 * scale,
+                err_msg=f"{key} frame {i}")
+        # detection sets: identical CFAR decisions expected at these SNRs
+        want = ref_payloads["range_doppler_detector_2d"][i]
+        got = pre_payloads["range_doppler_detector_2d"][i]
+        np.testing.assert_array_equal(np.asarray(got["data"]),
+                                      np.asarray(want["data"]))
+        np.testing.assert_allclose(got["rng_dop_resp"], want["rng_dop_resp"],
+                                   rtol=2e-4, atol=1e-3)
+        # point cloud: same detections -> same points to float tolerance
+        np.testing.assert_allclose(
+            np.asarray(pre_payloads["point_cloud_generator"][i]["data"]),
+            np.asarray(ref_payloads["point_cloud_generator"][i]["data"]),
+            rtol=1e-4, atol=1e-4)
+        # altimeter: sequential track matches the stateful processor
+        np.testing.assert_allclose(
+            float(pre_payloads["altimeter"][i]["data"]),
+            float(ref_payloads["altimeter"][i]["data"]), atol=2e-3)
+        # 1D range detector: same detection indices, thresholds, profile
+        want = ref_payloads["range_detector"][i]
+        got = pre_payloads["range_detector"][i]
+        np.testing.assert_array_equal(np.asarray(got["data"]),
+                                      np.asarray(want["data"]))
+        wt, gt = np.asarray(want["thresholds"]), np.asarray(got["thresholds"])
+        np.testing.assert_array_equal(np.isfinite(wt), np.isfinite(gt))
+        fin = np.isfinite(wt)
+        np.testing.assert_allclose(gt[fin], wt[fin], rtol=2e-4, atol=1e-3)
+        # static bins ride along bit-identically
+        for key in covered:
+            for attr, val in ref_payloads[key][i].items():
+                if attr.endswith("_bins") and val is not None:
+                    np.testing.assert_array_equal(
+                        np.asarray(pre_payloads[key][i][attr]), np.asarray(val))
+
+
+def test_precompute_fallback_for_unsupported_params(sim_dataset, tmp_path):
+    """YAML params outside the batched pipeline's surface -> per-frame path."""
+    ds_path, pp_path = sim_dataset
+    params = yaml.safe_load(open(pp_path))
+    params["processors"]["doppler_azimuth_resp"]["use_precise_fft"] = True
+    pp2 = tmp_path / "pp2.yaml"
+    pp2.write_text(yaml.safe_dump(params))
+    ctl = _fresh_controller((ds_path, str(pp2)))
+    covered = ctl.enable_precomputed_playback()
+    assert "doppler_azimuth_resp" not in covered
+    assert "range_doppler_resp" in covered
+    seen = {}
+    ctl.subscribe_view_update(lambda k, p: seen.setdefault(k, []).append(p))
+    ctl.process_next_frame(0)
+    # the uncovered key still emits (per-frame fallback ran)
+    assert "doppler_azimuth_resp" in seen and "range_doppler_resp" in seen
+
+
+def test_precomputed_detector_parity_sequential_and_ground(sim_dataset, tmp_path):
+    """Sequential + ground RD detectors: cached payloads == per-frame."""
+    ds_path, pp_path = sim_dataset
+    params = yaml.safe_load(open(pp_path))
+    params["processors"]["range_doppler_detector_sequential"] = {
+        "rng_cfar_type": "os_cfar_1d",
+        "rng_cfar_params": {"num_train": 5, "num_guard": 3, "rho": 0.6,
+                            "alpha": 2},
+    }
+    params["processors"]["range_doppler_ground_detector"] = {
+        "vel_cfar_type": "os_cfar_1d",
+        "vel_cfar_params": {"num_train": 5, "num_guard": 2, "rho": 0.6,
+                            "alpha": 4},
+        "altimeter_params": {"min_altitude_m": 0.25,
+                             "zoom_search_region_m": 0.2,
+                             "altitude_search_limit_m": 0.4},
+    }
+    pp2 = tmp_path / "pp_det.yaml"
+    pp2.write_text(yaml.safe_dump(params))
+
+    def make(enable_cache):
+        registry = get_default_registry()
+        keep = {"range_doppler_detector_sequential",
+                "range_doppler_ground_detector"}
+        for k in registry:
+            registry[k].enabled = k in keep
+        ctl = MmWaveRadarProcessorController(
+            registry=registry, dataset_params_path=ds_path,
+            processor_params_path=str(pp2))
+        if enable_cache:
+            covered = ctl.enable_precomputed_playback()
+            assert keep <= covered
+        store = {}
+        ctl.subscribe_view_update(
+            lambda k, p, s=store: s.setdefault(k, []).append(p))
+        ctl.play()
+        return store
+
+    ref, pre = make(False), make(True)
+    for key in ("range_doppler_detector_sequential",
+                "range_doppler_ground_detector"):
+        for i in range(len(ref[key])):
+            np.testing.assert_array_equal(
+                np.asarray(pre[key][i]["data"]),
+                np.asarray(ref[key][i]["data"]),
+                err_msg=f"{key} frame {i}")
+            np.testing.assert_allclose(
+                pre[key][i]["rng_dop_resp"], ref[key][i]["rng_dop_resp"],
+                rtol=2e-4, atol=1e-3)
