@@ -30,13 +30,15 @@ BASELINE_MEASURED_PATH = os.path.join(_HERE, "BASELINE_MEASURED.json")
 CFAR_PARAMS = dict(num_train=(5, 5), num_guard=(3, 2), rho=0.7, alpha=4.0)
 AZ_IDXS, EL_IDXS = (0, 3, 4, 7), (9, 8, 5, 4)
 
-# Logical batches per program execution (parallel/pipeline.chunk_dispatch):
-# one execution lax.scans over K chunks of `--batch` frames, dividing the
-# measured 2.39 ms fixed dispatch cost by K while the compiled step (and its
-# live working set) stays at the proven batch-1024 shape.  Defaults are the
-# winners of the round-4 within-process A/B sweep (BENCH_SELF.md); `ground`
-# is a stateful temporal scan, so chunking its batch axis would reset the
-# altimeter state mid-recording — excluded.
+# Logical batches per program execution (parallel/pipeline.chunk_dispatch).
+# All 1: the round-4 within-process A/B (BENCH_SELF.md "mega-dispatch
+# falsification") measured scan-chunking at 0.57-0.675x, unrolled chunking
+# at 0.90x, and a fully dependent chain equal to independent dispatches —
+# there is no serialized per-dispatch overhead for a mega-dispatch to
+# reclaim (the old 2.39 ms calibration intercept was mostly fence-fetch
+# measurement artifact; the real per-program cost is ~0.44 ms and already
+# overlaps).  `--chunks` stays available for future runtimes where the
+# trade-off differs; `ground` is a stateful temporal scan and never chunks.
 CHUNK_DEFAULTS = {"pointcloud": 1, "velocity": 1, "combined": 1,
                   "capon": 1, "bartlett": 1, "ground": 1}
 
@@ -458,6 +460,7 @@ def run_scaling(args) -> None:
     head = table.get("combined_with_feed", table["combined"])
     eff = head["efficiency"][-1]
     n_max = head["devices"][-1]
+    proj = table.get("ici_projection", {})
     result = {
         "metric": f"samples/s scaling efficiency 1->{n_max} devices "
                   "(combined pipeline incl. input feed, weak scaling)",
@@ -469,6 +472,11 @@ def run_scaling(args) -> None:
         "core_oversubscribed": bool(head.get("core_oversubscribed",
                                              [False])[-1]),
         "physical_cores": table.get("meta", {}).get("physical_cores"),
+        # falsifiable model prediction for real ICI hardware (the virtual
+        # CPU mesh only measures core contention past n=cores):
+        # parallel/scaling.predict_ici_efficiency, assumptions stated inside
+        "predicted_ici_efficiency_min": proj.get("min_predicted_efficiency"),
+        "predicted_meets_80pct_bar": proj.get("meets_80pct_bar"),
         "table": table,
     }
     print(json.dumps(result))

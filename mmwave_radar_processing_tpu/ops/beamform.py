@@ -228,16 +228,68 @@ def _unrolled_cho_solve(m2: jax.Array, b_full: jax.Array) -> jax.Array:
     return jnp.stack(x, axis=-2)
 
 
-@partial(jax.jit, static_argnames=())
+def _unrolled_chol_inverse(m2: jax.Array) -> jax.Array:
+    """Batched ``L^{-1}`` of the Cholesky factor, fully unrolled (small n).
+
+    Same elementwise-recurrence strategy as :func:`_unrolled_cho_solve`, but
+    instead of substituting the ``[..., n, M]`` RHS through 2n sequential
+    passes, it inverts the tiny ``[..., n, n]`` factor (forward substitution
+    on the identity — O(n^3/6) elementwise ops over the batch vector) so the
+    angle grid can be applied with ONE batched matmul downstream.
+
+    Returns ``[..., n, n]`` lower-triangular ``L^{-1}``.
+    """
+    n = m2.shape[-1]
+    tiny = jnp.finfo(jnp.float32).tiny
+    l = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = m2[..., j, j]
+        for k in range(j):
+            s = s - l[j][k] * l[j][k]
+        d = jnp.sqrt(jnp.maximum(s, tiny))
+        l[j][j] = d
+        for i in range(j + 1, n):
+            s = m2[..., i, j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            l[i][j] = s / d
+    inv = [[None] * n for _ in range(n)]
+    for j in range(n):
+        inv[j][j] = 1.0 / l[j][j]
+        for i in range(j + 1, n):
+            s = l[i][j] * inv[j][j]
+            for k in range(j + 1, i):
+                s = s + l[i][k] * inv[k][j]
+            inv[i][j] = -s / l[i][i]
+    zero = jnp.zeros_like(m2[..., 0, 0])
+    rows = [
+        jnp.stack([inv[i][j] if j <= i else zero for j in range(n)], axis=-1)
+        for i in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+@partial(jax.jit, static_argnames=("method",))
 def capon_from_covariance(
-    r: C2, steering: C2, *, loading: float = 1e-3
+    r: C2, steering: C2, *, loading: float = 1e-3, method: str = "linv"
 ) -> jax.Array:
     """Capon/MVDR spectrum ``P_m = 1 / (a_m^H R^{-1} a_m)``.
 
     Solves the Hermitian system through the real embedding
-    ``[[Rr, -Ri], [Ri, Rr]]`` (SPD for loaded HPD ``R``) with a batched
-    float32 Cholesky — no complex dtypes on device.  ``a^H R^{-1} a`` is real,
-    equal to ``embed(a)^T embed(R)^{-1} embed(a)``.
+    ``[[Rr, -Ri], [Ri, Rr]]`` (SPD for loaded HPD ``R``) with float32
+    Cholesky machinery — no complex dtypes on device.  ``a^H R^{-1} a`` is
+    real, equal to ``embed(a)^T embed(R)^{-1} embed(a)``.
+
+    ``method``:
+
+    - ``"linv"`` (default, round-4 fusion): invert the tiny triangular
+      factor in unrolled elementwise code, then
+      ``P_m = 1 / ||L^{-1} b_m||^2`` — the whole angle grid applies as ONE
+      batched ``[.., n, n] x (n, M)`` MXU matmul with a fused square-sum;
+      no broadcast RHS and no 2n sequential ``[.., n, M]`` substitution
+      passes touching HBM.
+    - ``"solve"``: the round-2/3 unrolled Cholesky solve on the broadcast
+      RHS (kept for A/B and as the fallback oracle).
 
     Args:
         r: ``[..., A, A]`` covariance (unloaded; loading applied here).
@@ -249,6 +301,11 @@ def capon_from_covariance(
     r = diagonal_load(r, loading)
     m2 = _real_embed(r)  # [..., 2A, 2A]
     b = jnp.concatenate([steering.re, steering.im], axis=0)  # (2A, M)
+    if method == "linv" and m2.shape[-1] <= 24:
+        linv = _unrolled_chol_inverse(m2)  # [..., n, n]
+        g = jnp.einsum("...ij,jm->...im", linv, b)
+        denom = jnp.sum(g * g, axis=-2)
+        return 1.0 / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
     b_full = jnp.broadcast_to(b, m2.shape[:-2] + b.shape)
     if m2.shape[-1] <= 24:
         y = _unrolled_cho_solve(m2, b_full)

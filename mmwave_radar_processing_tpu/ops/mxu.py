@@ -115,17 +115,24 @@ def dft_factors(
     return jnp.asarray(c, jnp.float32), jnp.asarray(s, jnp.float32)
 
 
-def dft_apply(x: C2, factors, axis: int = -1) -> C2:
+def dft_apply(x: C2, factors, axis: int = -1, *, precision=None) -> C2:
     """Apply a DFT (cos, sin) factor pair along ``axis`` — two real matmuls.
 
     With ``M = C - jS``: ``re' = re@C + im@S``, ``im' = im@C - re@S``
     (or the ``+`` convention for inverse factors, already folded into S).
+
+    ``precision``: forwarded to the matmuls.  TPU default precision runs
+    single-pass-bf16 MXU (~1e-3 relative error); pass ``"highest"`` for true
+    f32 where a downstream discrete decision (argmax over angle bins) would
+    otherwise flip vs the CPU oracle — on tiny transforms it is free.
     """
     c, s = factors
     re = jnp.moveaxis(x.re, axis, -1)
     im = jnp.moveaxis(x.im, axis, -1)
-    out_re = re @ c + im @ s
-    out_im = im @ c - re @ s
+    out_re = (jnp.matmul(re, c, precision=precision)
+              + jnp.matmul(im, s, precision=precision))
+    out_im = (jnp.matmul(im, c, precision=precision)
+              - jnp.matmul(re, s, precision=precision))
     return C2(jnp.moveaxis(out_re, -1, axis), jnp.moveaxis(out_im, -1, axis))
 
 
@@ -196,15 +203,19 @@ def aoa_union_layout(az_idx: np.ndarray, el_idx: np.ndarray):
     return union_idx, az_pos, el_pos, needed
 
 
-def aoa_peak_angles(vals: C2, pos, factors, angle_bins: jax.Array) -> jax.Array:
+def aoa_peak_angles(vals: C2, pos, factors, angle_bins: jax.Array,
+                    precision=None) -> jax.Array:
     """Per-detection AoA: zero-padded angle DFT of ``vals[pos]`` -> argmax bin.
 
     ``vals``: ``(U, K)`` per-detection snapshot values on the antenna union
     (from :func:`rd_values_at`); ``pos``: this subset's positions in the
-    union (reference ``point_cloud_generator.py:143-214``).
+    union (reference ``point_cloud_generator.py:143-214``).  ``precision``
+    forwards to the tiny angle transform — pass ``"highest"`` with
+    ``rd_values_from_range_dft(mode="exact")`` so the argmax input is not
+    re-truncated to bf16.
     """
     snap = C2(vals.re[pos].T, vals.im[pos].T)  # (K, A)
-    spec = dft_apply(snap, factors, axis=-1)
+    spec = dft_apply(snap, factors, axis=-1, precision=precision)
     return angle_bins[jnp.argmax(cabs2(spec), axis=1)]
 
 
@@ -253,17 +264,34 @@ def range_dft_channels(
 
 
 def rd_values_from_range_dft(
-    R: C2, dop_factors, r_idx: jax.Array, v_idx: jax.Array
+    R: C2, dop_factors, r_idx: jax.Array, v_idx: jax.Array,
+    *, mode: str = "fast",
 ) -> C2:
     """Per-detection RD values from an already range-transformed cube.
 
     Same result as :func:`rd_values_at` but starting from
     ``R = range-DFT(cube)`` (e.g. the :func:`range_dft_channels` output that
-    the CFAR map shares): the range-bin selection becomes a *real* one-hot
-    contraction (half the matmul work of the bilinear form, whose range
-    factor columns are complex), and the Doppler factor columns are selected
-    exactly as in :func:`rd_values_at`.  FP-identical to the bilinear form:
-    selecting output columns of a DFT equals selecting factor-matrix columns.
+    the CFAR map shares): the range-bin selection is a *real* one-hot
+    contraction and the Doppler factor columns are one-hot-selected the same
+    way.  Selecting output columns of a DFT equals selecting factor-matrix
+    columns, so this matches the bilinear form.
+
+    ``mode`` (round-4 measured trade-off; BENCH_SELF.md "AoA precision"):
+
+    - ``"fast"`` (default): one-hot contractions at the device's default
+      matmul precision.  On TPU this truncates the selected values to bf16
+      (~3 significant digits) — the on-chip verify measured ~8% of AoA
+      argmax picks flipping vs the CPU f32 oracle, all same-cell
+      adjacent-bin flips on noise-level detections.  Stage cost ~0.9 ms at
+      batch 1024 (north star 178k frames/s).
+    - ``"exact"``: each selection runs twice at default precision on a
+      hi/lo split of its operand (``hi = bf16(x)`` passes through the
+      one-hot exactly; ``lo = x - hi`` carries the residual -> ~2^-17
+      relative), and the final tiny Doppler contraction runs f32.  Restores
+      CPU-faithful discrete decisions down to the bf16 error of ``R``
+      itself (verify set-IoU 0.79 -> 0.88) at ~+2.4 ms/dispatch (north
+      star ~120k).  ``precision=HIGHEST`` (6x) and ``jnp.take`` gathers
+      (serialize) both measured strictly worse.
 
     Args:
         R: ``(A, W, L)`` split-complex range-DFT'd cube (range bins on W).
@@ -274,17 +302,46 @@ def rd_values_from_range_dft(
         ``C2`` of shape ``(A, K)``.
     """
     dc, ds = dop_factors
-    W, L = R.re.shape[-2], R.re.shape[-1]
+    W = R.re.shape[-2]
     oh_r = (r_idx[None, :] == jnp.arange(W)[:, None]).astype(jnp.float32)
     oh_v = (v_idx[None, :] == jnp.arange(dc.shape[1])[:, None]).astype(
         jnp.float32)
-    t_c, t_s = dc @ oh_v, ds @ oh_v  # (L, K)
-    u_re = jnp.einsum("awl,wk->alk", R.re, oh_r)
-    u_im = jnp.einsum("awl,wk->alk", R.im, oh_r)
-    val_re = (jnp.einsum("alk,lk->ak", u_re, t_c)
-              + jnp.einsum("alk,lk->ak", u_im, t_s))
-    val_im = (jnp.einsum("alk,lk->ak", u_im, t_c)
-              - jnp.einsum("alk,lk->ak", u_re, t_s))
+
+    if mode == "fast":
+        t_c, t_s = dc @ oh_v, ds @ oh_v  # (L, K)
+        u_re = jnp.einsum("awl,wk->alk", R.re, oh_r)
+        u_im = jnp.einsum("awl,wk->alk", R.im, oh_r)
+        val_re = (jnp.einsum("alk,lk->ak", u_re, t_c)
+                  + jnp.einsum("alk,lk->ak", u_im, t_s))
+        val_im = (jnp.einsum("alk,lk->ak", u_im, t_c)
+                  - jnp.einsum("alk,lk->ak", u_re, t_s))
+        return C2(val_re, val_im)
+    if mode != "exact":
+        raise ValueError(f"unknown rd-values mode {mode!r}")
+
+    def split(x):
+        h = x.astype(jnp.bfloat16).astype(jnp.float32)
+        return h, x - h
+
+    def sel_rows(x):  # exact-in-f32 one-hot row selection, 2 default passes
+        h, l = split(x)
+        return (jnp.einsum("awl,wk->alk", h, oh_r)
+                + jnp.einsum("awl,wk->alk", l, oh_r))
+
+    def sel_cols(x):
+        h, l = split(x)
+        return (jnp.einsum("lv,vk->lk", h, oh_v)
+                + jnp.einsum("lv,vk->lk", l, oh_v))
+
+    u_re, u_im = sel_rows(R.re), sel_rows(R.im)
+    t_c, t_s = sel_cols(dc), sel_cols(ds)
+    # the remaining Doppler contraction is tiny (A x K x L) — f32 precision
+    # costs nothing and keeps the downstream argmax decisions CPU-faithful
+    hi = jax.lax.Precision.HIGHEST
+    val_re = (jnp.einsum("alk,lk->ak", u_re, t_c, precision=hi)
+              + jnp.einsum("alk,lk->ak", u_im, t_s, precision=hi))
+    val_im = (jnp.einsum("alk,lk->ak", u_im, t_c, precision=hi)
+              - jnp.einsum("alk,lk->ak", u_re, t_s, precision=hi))
     return C2(val_re, val_im)
 
 

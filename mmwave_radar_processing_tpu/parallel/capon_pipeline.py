@@ -34,12 +34,21 @@ def build_capon_pipeline(
     loading: float = 1e-2,
     reformat_input: bool = True,
     bartlett_backend: Optional[str] = None,
+    capon_method: str = "auto",
 ):
     """Compile ``(raw_re, raw_im) [B, rx, ns, nc] -> [B, ns, angles]`` power.
 
     ``method``: ``"capon"`` (MVDR, covariance + Cholesky solve) or
     ``"bartlett"`` (steering matmul; ``bartlett_backend`` picks the fused
     Pallas kernel vs the XLA einsum, default auto per ``ops.beamform``).
+
+    ``capon_method``: ``"pallas"`` (default on TPU — one fused kernel for
+    covariance + complex Cholesky inverse + spectrum,
+    :mod:`ops.pallas.capon`; the XLA chain spends ~85% of its time in
+    kernel-launch overhead around trivial arithmetic, measured round 4),
+    ``"linv"`` (XLA, unrolled L^-1 + one matmul), or ``"solve"`` (XLA,
+    unrolled substitution).  ``"auto"`` resolves to pallas on accelerators,
+    linv on CPU.
     """
     if method not in ("capon", "bartlett"):
         raise ValueError(f"unknown method {method!r}")
@@ -66,12 +75,30 @@ def build_capon_pipeline(
         else:
             sel = mxu.C2(raw_re[:, idxs], raw_im[:, idxs])  # [B, A, ns, K]
             rng = mxu.dft_apply(sel, rng_factors, axis=-2)
+        if method == "capon" and resolved_capon == "pallas":
+            from mmwave_radar_processing_tpu.ops.pallas.capon import (
+                capon_power_pallas,
+            )
+
+            # [B, A, W, K] rides straight into the fused kernel: range bins
+            # on sublanes, chirps on lanes — no snapshot transpose
+            return capon_power_pallas(
+                rng.re, rng.im, steering.re, steering.im, loading=loading,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
         # snapshots per (frame, range bin): [B, ns, A, K]
         snaps = mxu.C2(jnp.moveaxis(rng.re, 1, 2), jnp.moveaxis(rng.im, 1, 2))
         if method == "bartlett":
             return bf.bartlett_power(snaps, steering,
                                      method=bartlett_backend)
         r = bf.spatial_covariance(snaps)
-        return bf.capon_from_covariance(r, steering, loading=loading)
+        return bf.capon_from_covariance(r, steering, loading=loading,
+                                        method=resolved_capon)
 
+    resolved_capon = capon_method
+    if capon_method == "auto":
+        # Mosaic kernel on accelerators; CPU keeps the XLA form (interpret
+        # mode would run but slowly — the CPU tests want the parity oracle)
+        resolved_capon = ("pallas" if jax.devices()[0].platform != "cpu"
+                          else "linv")
     return jax.jit(pipeline)

@@ -35,6 +35,7 @@ def build_full_pipeline(
     cfar_params: Optional[dict] = None,
     max_dets: int = 128,
     num_angle_bins: int = 64,
+    aoa_precision: str = "fast",
     shift_az_resp: bool = True,
     shift_el_resp: bool = False,
     velocity_kwargs: Optional[dict] = None,
@@ -58,6 +59,7 @@ def build_full_pipeline(
     rng_factors, dop_factors = mxu.range_doppler_factors(ns, loops)
     az_factors = mxu.aoa_factors(len(az_idx) or 1, num_angle_bins, shift_az_resp)
     el_factors = mxu.aoa_factors(len(el_idx) or 1, num_angle_bins, shift_el_resp)
+    _aoa_prec = "highest" if aoa_precision == "exact" else None
     range_res = cfg.range_res_m
     vel0, vel_res = -cfg.vel_max_m_s, cfg.vel_res_m_s
 
@@ -93,13 +95,16 @@ def build_full_pipeline(
         )
         if union_idx.size:
             sub = mxu.C2(R.re[aoa_start:], R.im[aoa_start:])
-            vals = mxu.rd_values_from_range_dft(sub, dop_factors, r_i, v_i)
+            vals = mxu.rd_values_from_range_dft(sub, dop_factors, r_i, v_i,
+                                                mode=aoa_precision)
         az = (
-            mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins)
+            mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins,
+                                precision=_aoa_prec)
             if az_idx.size else jnp.zeros(r_i.shape, jnp.float32)
         )
         el = (
-            mxu.aoa_peak_angles(vals, el_pos, el_factors, angle_bins)
+            mxu.aoa_peak_angles(vals, el_pos, el_factors, angle_bins,
+                                precision=_aoa_prec)
             if el_idx.size else jnp.zeros(r_i.shape, jnp.float32)
         )
         ranges = r_i.astype(jnp.float32) * range_res

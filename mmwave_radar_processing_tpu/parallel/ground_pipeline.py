@@ -50,6 +50,7 @@ def build_ground_point_cloud_pipeline(
     precise_est_enabled: bool = True,
     max_dets: int = 128,
     num_angle_bins: int = 64,
+    aoa_precision: str = "fast",
     shift_az_resp: bool = True,
     shift_el_resp: bool = False,
     reformat_input: bool = True,
@@ -90,6 +91,7 @@ def build_ground_point_cloud_pipeline(
     alt_rng_factors = mxu.dft_factors(ns, window=np.hanning(ns))
     az_factors = mxu.aoa_factors(len(az_idx) or 1, num_angle_bins, shift_az_resp)
     el_factors = mxu.aoa_factors(len(el_idx) or 1, num_angle_bins, shift_el_resp)
+    _aoa_prec = "highest" if aoa_precision == "exact" else None
     # altimeter zoom frequency mapping (reference range_resp.py:84-89)
     zoom_fs = 1.0 / cfg.range_res_m
     zoom_scale = zoom_fs / cfg.range_max_m
@@ -211,11 +213,14 @@ def build_ground_point_cloud_pipeline(
 
         if union_idx.size:
             sub = mxu.C2(R.re[aoa_start:], R.im[aoa_start:])
-            vals = mxu.rd_values_from_range_dft(sub, dop_factors, r_i, v_i)
+            vals = mxu.rd_values_from_range_dft(sub, dop_factors, r_i, v_i,
+                                                mode=aoa_precision)
 
-        az = (mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins)
+        az = (mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins,
+                                precision=_aoa_prec)
               if az_idx.size else jnp.zeros(r_i.shape, jnp.float32))
-        el = (mxu.aoa_peak_angles(vals, el_pos, el_factors, angle_bins)
+        el = (mxu.aoa_peak_angles(vals, el_pos, el_factors, angle_bins,
+                                precision=_aoa_prec)
               if el_idx.size else jnp.zeros(r_i.shape, jnp.float32))
         ranges = r_i.astype(jnp.float32) * range_res
         vels = vel0 + v_i.astype(jnp.float32) * vel_res

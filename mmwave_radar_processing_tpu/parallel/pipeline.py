@@ -46,6 +46,7 @@ def build_point_cloud_pipeline(
     shift_el_resp: bool = False,
     reformat_input: bool = True,
     backend: str = "mxu",
+    aoa_precision: str = "fast",
 ):
     """Compile a ``[B, rx, ns, nc] -> PointCloudBatch`` pipeline function.
 
@@ -57,6 +58,11 @@ def build_point_cloud_pipeline(
     complex dtypes on device, every transform an MXU matmul — and the returned
     function takes ``(raw_re, raw_im)`` float32 planes.  ``backend="xla"``
     uses complex FFT ops and takes one complex array.
+
+    ``aoa_precision``: ``"fast"`` (default; per-detection values selected at
+    the device's default matmul precision — bf16 on TPU) or ``"exact"``
+    (hi/lo-split selection + f32 angle transform, CPU-faithful AoA argmax at
+    ~-33% throughput; ``ops/mxu.rd_values_from_range_dft``).
     """
     if backend == "mxu":
         return _build_pipeline_mxu(
@@ -69,6 +75,7 @@ def build_point_cloud_pipeline(
             shift_az_resp=shift_az_resp,
             shift_el_resp=shift_el_resp,
             reformat_input=reformat_input,
+            aoa_precision=aoa_precision,
         )
     if backend != "xla":
         raise ValueError(f"unknown backend {backend!r}")
@@ -133,6 +140,7 @@ def _build_pipeline_mxu(
     shift_az_resp,
     shift_el_resp,
     reformat_input,
+    aoa_precision="fast",
 ):
     """Split-complex MXU pipeline: ``(raw_re, raw_im) -> PointCloudBatch``.
 
@@ -217,14 +225,18 @@ def _build_pipeline_mxu(
         )
         if union_idx.size:
             sub = mxu.C2(R.re[aoa_start:], R.im[aoa_start:])
-            vals = mxu.rd_values_from_range_dft(sub, dop_factors, r_i, v_i)
+            vals = mxu.rd_values_from_range_dft(sub, dop_factors, r_i, v_i,
+                                                mode=aoa_precision)
+        aoa_prec = "highest" if aoa_precision == "exact" else None
         az = (
-            mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins)
+            mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins,
+                                precision=aoa_prec)
             if az_idx.size
             else jnp.zeros(r_i.shape, jnp.float32)
         )
         el = (
-            mxu.aoa_peak_angles(vals, el_pos, el_factors, angle_bins)
+            mxu.aoa_peak_angles(vals, el_pos, el_factors, angle_bins,
+                                precision=aoa_prec)
             if el_idx.size
             else jnp.zeros(r_i.shape, jnp.float32)
         )

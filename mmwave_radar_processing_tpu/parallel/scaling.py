@@ -252,4 +252,115 @@ def measure_scaling(
                  "interconnect; collective_share is the bare-collective time "
                  "over the pipeline step at the same payload/device count"),
     }
+    results["ici_projection"] = predict_ici_efficiency(
+        results,
+        halo_bytes_per_dev=2 * 8 * 128 * 4,  # ppermute payload both dirs
+        psum_bytes_per_dev=63 * 64 * 4,  # partial covariance shard
+        device_counts=device_counts,
+    )
     return results
+
+
+#: stated assumptions for the ICI projection — v5e-class figures from public
+#: documentation (jax-ml.github.io/scaling-book): ~4 ICI links per chip at
+#: ~45 GB/s usable each direction; per-collective-step software+wire latency
+#: a few microseconds.  Conservative single-link figures are used so the
+#: projection errs toward *under*-predicting efficiency.
+ICI_ASSUMPTIONS = {
+    "ici_bw_gbs": 45.0,
+    "ici_latency_us": 3.0,
+}
+
+
+def predict_ici_efficiency(
+    results: Dict,
+    *,
+    halo_bytes_per_dev: int,
+    psum_bytes_per_dev: int,
+    device_counts: Sequence[int],
+    assumptions: Dict = None,
+) -> Dict:
+    """Falsifiable n-chip efficiency prediction from single-device measurements.
+
+    The virtual CPU mesh cannot measure interconnect scaling (2 host cores
+    saturate at n=1 — every multi-device row mostly times core contention).
+    What it CAN measure is (a) the single-device compute time per step and
+    (b) the input-feed share; the remaining term on real hardware is the
+    collective, whose cost is bytes/bandwidth + latency at ICI-class numbers.
+    This emits ``eff_pred(n) = t_comp / (t_comp + t_feed + t_coll(n))`` per
+    pipeline with every assumption stated, so the >=80% north-star leg is a
+    prediction the first real multi-chip run can falsify — not a narrative.
+
+    Collective models (standard ring forms, scaling-book conventions):
+
+    - ``ppermute`` (CFAR halo): one neighbor exchange,
+      ``t = bytes / bw + lat`` — n-independent (weak scaling, fixed halo).
+    - ``psum`` (beamform partials): ring all-reduce,
+      ``t = 2 * bytes * (n-1)/n / bw + 2 * log2(n) * lat``.
+    - frame-DP ``combined``: no hot-path collectives; the only non-compute
+      term is the measured per-process input-feed share.
+    """
+    a = dict(assumptions or ICI_ASSUMPTIONS)
+    bw = a["ici_bw_gbs"] * 1e9
+    lat = a["ici_latency_us"] * 1e-6
+    out = {"assumptions": a, "pipelines": {}}
+
+    # combined: feed share measured at n=1 (per-process feed is constant
+    # per host in multi-host deployment)
+    c = results.get("combined")
+    cf = results.get("combined_with_feed")
+    if c and cf:
+        feed_share = max(0.0, c["samples_per_s"][0] / cf["samples_per_s"][0]
+                         - 1.0)
+        rows = {int(n): round(1.0 / (1.0 + feed_share), 4)
+                for n in device_counts}
+        out["pipelines"]["combined_with_feed"] = {
+            "model": "frame-DP, no hot-path collectives; eff = 1/(1+feed_share)",
+            "measured_feed_share_n1": round(feed_share, 4),
+            "eff_pred": rows,
+        }
+
+    # halo CFAR: t_comp from the n=1 row, halo exchange per step.
+    # 64*128 = rows_per_dev * width, the n=1 samples-per-step the harness
+    # timed above (keep in sync with measure_scaling)
+    h = results.get("halo_cfar_2d")
+    if h and h["samples_per_s"]:
+        t_comp = 64 * 128 / h["samples_per_s"][0]
+        t_coll = halo_bytes_per_dev / bw + lat
+        rows = {int(n): (1.0 if n == 1 else
+                         round(t_comp / (t_comp + t_coll), 4))
+                for n in device_counts}
+        out["pipelines"]["halo_cfar_2d"] = {
+            "model": "eff = t_comp / (t_comp + bytes/bw + lat)",
+            "t_comp_us_n1": round(t_comp * 1e6, 2),
+            "t_coll_us_pred": round(t_coll * 1e6, 2),
+            "halo_bytes_per_dev": halo_bytes_per_dev,
+            "eff_pred": rows,
+        }
+
+    # snapshot-sharded capon: ring all-reduce of the partial covariances
+    # 64*32 = n_bins * snaps_per_dev (the n=1 samples-per-step above)
+    cs = results.get("capon_snapshot")
+    if cs and cs["samples_per_s"]:
+        t_comp = 64 * 32 / cs["samples_per_s"][0]
+        rows = {}
+        for n in device_counts:
+            if n == 1:
+                rows[int(n)] = 1.0
+                continue
+            t_coll = (2.0 * psum_bytes_per_dev * (n - 1) / n / bw
+                      + 2.0 * np.log2(n) * lat)
+            rows[int(n)] = round(t_comp / (t_comp + t_coll), 4)
+        out["pipelines"]["capon_snapshot"] = {
+            "model": "eff = t_comp / (t_comp + 2*bytes*(n-1)/n/bw "
+                     "+ 2*log2(n)*lat)",
+            "t_comp_us_n1": round(t_comp * 1e6, 2),
+            "psum_bytes_per_dev": psum_bytes_per_dev,
+            "eff_pred": rows,
+        }
+
+    preds = [min(p["eff_pred"].values())
+             for p in out["pipelines"].values() if p.get("eff_pred")]
+    out["min_predicted_efficiency"] = round(min(preds), 4) if preds else None
+    out["meets_80pct_bar"] = bool(preds and min(preds) >= 0.80)
+    return out

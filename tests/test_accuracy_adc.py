@@ -112,3 +112,156 @@ def test_adc_velocity_accuracy_tracks_reference(flagship_config, flagship_cfg_pa
     # of truth for both implementations)
     assert float(rep_ours.loc["Z", "RMSE"]) <= 0.2
     assert float(rep_ref.loc["Z", "RMSE"]) <= 0.2
+
+
+# --- second geometry: standard/outward (round 4) --------------------------- #
+STD_EGO_VELS = [
+    (1.0, 0.3),
+    (0.8, -0.4),
+    (1.2, 0.0),
+    (0.6, 0.5),
+]
+STD_CFG = "1843_RadVel_20Hz.cfg"
+
+
+def _std_scene_and_points(cfg, ego, rng, n_targets=150):
+    """Outward-facing standard-geometry scene + matching (x, y, z, vd) points.
+
+    Targets spread across the azimuth fan at ~zero elevation (the 8-element
+    line resolves azimuth only); each radial velocity is ``-u . v_ego`` —
+    the geometry both the ADC sub-array path and the 2D points path invert.
+    """
+    from mmwave_radar_processing_tpu.data import PointTarget, Scene
+
+    vx, vy = ego
+    targets, pts = [], []
+    for _ in range(n_targets):
+        az = rng.uniform(-0.95, 0.95)
+        el = rng.uniform(-0.03, 0.03)
+        r = rng.uniform(1.5, 0.7 * cfg.range_max_m)
+        u = np.array([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                      np.sin(el)])
+        vd = -(u[0] * vx + u[1] * vy)
+        targets.append(PointTarget(range_m=r, azimuth_rad=az,
+                                   elevation_rad=el, velocity_m_s=vd,
+                                   rcs=float(rng.uniform(2.0, 5.0))))
+        pts.append([r * u[0], r * u[1], r * u[2],
+                    vd + rng.normal(0.0, 0.02)])
+    return Scene(targets=targets, noise_sigma=0.01), np.asarray(pts, np.float32)
+
+
+@pytest.fixture(scope="module")
+def std_recordings():
+    import os
+
+    from mmwave_radar_processing_tpu.config import load_cfg
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            STD_CFG)
+    cfg = load_cfg(cfg_path, array_geometry="standard", array_direction="out")
+    rng = np.random.default_rng(23)
+    raws, pt_clouds, gts = [], [], []
+    for ego in STD_EGO_VELS:
+        for _ in range(FRAMES_PER_VEL):
+            scene, pts = _std_scene_and_points(cfg, ego, rng)
+            raws.append(simulate_frame(cfg, scene, rng))
+            pt_clouds.append(pts)
+            gts.append([ego[0], ego[1], 0.0])  # standard space [vx, vy, 0]
+    return cfg, os.path.abspath(cfg_path), np.stack(raws), pt_clouds, \
+        np.asarray(gts, np.float32)
+
+
+def test_standard_geometry_adc_accuracy_tracks_reference(std_recordings):
+    """Outward standard-geometry ADC path: ours vs the live reference.
+
+    Reference anchors: standard sub-array selection
+    ``velocity_estimator.py:169-188``, estimate assembly ``[vx, vy, 0]``
+    (:679-684 standard branch).
+    """
+    from mmwave_radar_processing.config_managers.cfgManager import (
+        ConfigManager as RefConfigManager,
+    )
+    from mmwave_radar_processing.processors.velocity_estimator import (
+        VelocityEstimator as RefVelocityEstimator,
+    )
+
+    from mmwave_radar_processing_tpu.processors.velocity_estimator import (
+        VelocityEstimator,
+    )
+
+    cfg, cfg_path, raw, _, gt = std_recordings
+    n = raw.shape[0]
+    var = VirtualArrayReformatter(cfg)
+    virt = [np.asarray(var.process(raw[i])) for i in range(n)]
+
+    ours_est = VelocityEstimator(cfg, lower_range_bound=0.5,
+                                 upper_range_bound=0.5, min_R2_threshold=0.2,
+                                 min_inlier_percent=0.3)
+    ours = np.stack([
+        np.asarray(ours_est.process(adc_cube=virt[i], altitude=0.0)).copy()
+        for i in range(n)
+    ])
+
+    ref_cfg = RefConfigManager()
+    ref_cfg.load_cfg(cfg_path, "standard", "out")
+    ve = RefVelocityEstimator(ref_cfg, lower_range_bound=0.5,
+                              upper_range_bound=0.5, min_R2_threshold=0.2,
+                              min_inlier_percent=0.3)
+    theirs = np.stack([
+        ve.process(adc_cube=virt[i], altitude=0.0).copy() for i in range(n)
+    ])
+
+    # deterministic vx readout agrees per-frame
+    np.testing.assert_allclose(ours[:, 0], theirs[:, 0], atol=1e-3)
+
+    rep_ours = _summary(ours, gt)
+    rep_ref = _summary(theirs, gt)
+    print("\n== standard ADC path, ours ==\n", rep_ours)
+    print("== standard ADC path, reference ==\n", rep_ref)
+    for axis in ("X", "Y", "Norm"):
+        for stat in ("Mean", "RMSE", "90% Tail"):
+            a = float(rep_ours.loc[axis, stat])
+            b = float(rep_ref.loc[axis, stat])
+            assert abs(a - b) <= 0.15, (
+                f"{axis}/{stat}: ours {a:.3f} vs reference {b:.3f}")
+    # vx genuinely informative for both
+    assert float(rep_ours.loc["X", "RMSE"]) <= 0.2
+    assert float(rep_ref.loc["X", "RMSE"]) <= 0.2
+
+
+def test_standard_geometry_points_accuracy_tracks_reference(std_recordings):
+    """2D points path: ours vs reference ``point_cloud_processing``
+    (reference ``vel_estimator.py:76-122`` 2D RANSAC fit)."""
+    from mmwave_radar_processing.config_managers.cfgManager import (
+        ConfigManager as RefConfigManager,
+    )
+    from mmwave_radar_processing.point_cloud_processing.vel_estimator import (
+        VelocityEstimator as RefPointsEstimator,
+    )
+
+    from mmwave_radar_processing_tpu.point_cloud_processing.vel_estimator import (
+        VelocityEstimator as PointsEstimator,
+    )
+
+    cfg, cfg_path, _, pt_clouds, gt = std_recordings
+    ref_cfg = RefConfigManager()
+    ref_cfg.load_cfg(cfg_path, "standard", "out")
+
+    ours_est = PointsEstimator(cfg, min_R2_threshold=0.2)
+    ref_est = RefPointsEstimator(ref_cfg, min_R2_threshold=0.2)
+    ours = np.stack([np.asarray(ours_est.process(points=p)).copy()
+                     for p in pt_clouds])
+    theirs = np.stack([ref_est.process(points=p).copy() for p in pt_clouds])
+
+    rep_ours = _summary(ours, gt)
+    rep_ref = _summary(theirs, gt)
+    print("\n== standard points path, ours ==\n", rep_ours)
+    print("== standard points path, reference ==\n", rep_ref)
+    for axis in ("X", "Y", "Norm"):
+        for stat in ("Mean", "RMSE", "90% Tail"):
+            a = float(rep_ours.loc[axis, stat])
+            b = float(rep_ref.loc[axis, stat])
+            assert abs(a - b) <= 0.15, (
+                f"{axis}/{stat}: ours {a:.3f} vs reference {b:.3f}")
+    assert float(rep_ours.loc["Norm", "RMSE"]) <= 0.25
+    assert float(rep_ref.loc["Norm", "RMSE"]) <= 0.25

@@ -263,6 +263,14 @@ def test_measure_scaling_structure(flagship_config):
         assert shares[0] == 0.0  # no collective at n=1
         assert 0.0 < shares[-1] < 1.5  # measured, sane
     assert table["meta"]["physical_cores"] >= 1
+    # falsifiable ICI projection: stated assumptions + per-pipeline eff_pred
+    proj = table["ici_projection"]
+    assert proj["assumptions"]["ici_bw_gbs"] > 0
+    for pipe in ("combined_with_feed", "halo_cfar_2d", "capon_snapshot"):
+        pred = proj["pipelines"][pipe]["eff_pred"]
+        assert all(0.0 < v <= 1.0 for v in pred.values()), (pipe, pred)
+    assert proj["min_predicted_efficiency"] is not None
+    assert isinstance(proj["meets_80pct_bar"], bool)
 
 
 def test_input_feed_assembles_global_batch(flagship_config, tmp_path):
