@@ -177,3 +177,92 @@ def capon_power_pallas(
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xr, xi, ar, ai)
+
+
+def _bartlett_kernel(xr_ref, xi_ref, aa_ref, tr_ref, ti_ref, out_ref, *,
+                     n_ant, frames, inv_k):
+    for f in range(frames):
+        x_r = [xr_ref[f, a] for a in range(n_ant)]  # [W, K] tiles
+        x_i = [xi_ref[f, a] for a in range(n_ant)]
+        acc = None
+        pair = 0
+        for i in range(n_ant):
+            # diagonal: |a_i[m]|^2 * r_ii  (r_ii real)
+            r_ii = jnp.sum(x_r[i] * x_r[i] + x_i[i] * x_i[i], axis=-1,
+                           keepdims=True) * inv_k  # [W, 1]
+            term = r_ii * aa_ref[i, :][None, :]  # [W, M]
+            acc = term if acc is None else acc + term
+            for j in range(i):
+                # off-diagonal pair (i > j): 2 Re(r_ij * conj(a_i) a_j)
+                rr = jnp.sum(x_r[i] * x_r[j] + x_i[i] * x_i[j], axis=-1,
+                             keepdims=True) * inv_k
+                ri = jnp.sum(x_i[i] * x_r[j] - x_r[i] * x_i[j], axis=-1,
+                             keepdims=True) * inv_k
+                acc = acc + (rr * tr_ref[pair, :][None, :]
+                             - ri * ti_ref[pair, :][None, :])
+                pair += 1
+        out_ref[f] = acc
+
+
+@partial(jax.jit, static_argnames=("interpret", "frames_per_block"))
+def bartlett_power_pallas_cov(
+    xr: jax.Array,
+    xi: jax.Array,
+    ar: jax.Array,
+    ai: jax.Array,
+    *,
+    interpret: bool = False,
+    frames_per_block: int = 8,
+) -> jax.Array:
+    """Fused Bartlett maps via covariance pairs — the capon kernel minus
+    the solve.
+
+    ``P_m = a_m^H R a_m = sum_i |a_im|^2 r_ii + 2 sum_{i>j} Re(r_ij
+    conj(a_im) a_jm)``: each of the A + A(A-1)/2 unique covariance entries
+    is one multiply + lane-reduction, then rank-1 broadcast products with
+    the PRECOMPUTED angle-pair constants accumulate straight into the
+    ``[W, M]`` output tile.  Strictly less work than
+    :func:`capon_power_pallas` (no Cholesky), same layout; replaces both
+    the snapshot-projection Pallas kernel (round 2) and the XLA einsum
+    (measured round 4: 6.8 ms -> see BENCH_SELF).
+
+    Args / returns: as :func:`capon_power_pallas` (minus ``loading``).
+    """
+    b, n_ant, w, k = xr.shape
+    m = ar.shape[1]
+    aa = ar * ar + ai * ai  # (A, M)
+    trs, tis = [], []
+    for i in range(n_ant):
+        for j in range(i):
+            trs.append(2.0 * (ar[i] * ar[j] + ai[i] * ai[j]))
+            tis.append(2.0 * (ar[i] * ai[j] - ai[i] * ar[j]))
+    tr = jnp.stack(trs) if trs else jnp.zeros((1, m), jnp.float32)
+    ti = jnp.stack(tis) if tis else jnp.zeros((1, m), jnp.float32)
+    n_pairs = tr.shape[0]
+
+    f = frames_per_block
+    while b % f:
+        f //= 2
+    f = max(1, f)
+    kern = partial(_bartlett_kernel, n_ant=n_ant, frames=f,
+                   inv_k=1.0 / float(k))
+    return pl.pallas_call(
+        kern,
+        grid=(b // f,),
+        out_shape=jax.ShapeDtypeStruct((b, w, m), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((f, n_ant, w, k), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, n_ant, w, k), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ant, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pairs, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pairs, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((f, w, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xr, xi, aa, tr, ti)

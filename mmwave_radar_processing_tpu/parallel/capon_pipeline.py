@@ -86,6 +86,15 @@ def build_capon_pipeline(
                 rng.re, rng.im, steering.re, steering.im, loading=loading,
                 interpret=jax.devices()[0].platform == "cpu",
             )
+        if method == "bartlett" and resolved_bartlett == "pallas_cov":
+            from mmwave_radar_processing_tpu.ops.pallas.capon import (
+                bartlett_power_pallas_cov,
+            )
+
+            return bartlett_power_pallas_cov(
+                rng.re, rng.im, steering.re, steering.im,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
         # snapshots per (frame, range bin): [B, ns, A, K]
         snaps = mxu.C2(jnp.moveaxis(rng.re, 1, 2), jnp.moveaxis(rng.im, 1, 2))
         if method == "bartlett":
@@ -101,4 +110,11 @@ def build_capon_pipeline(
         # mode would run but slowly — the CPU tests want the parity oracle)
         resolved_capon = ("pallas" if jax.devices()[0].platform != "cpu"
                           else "linv")
+    resolved_bartlett = bartlett_backend
+    if bartlett_backend is None:
+        # round-4 measured default: the covariance-pair kernel (same VMEM
+        # layout as the capon kernel, no solve) beats both the round-2
+        # snapshot-projection kernel and the XLA einsum — see BENCH_SELF
+        resolved_bartlett = ("pallas_cov"
+                             if jax.devices()[0].platform != "cpu" else "xla")
     return jax.jit(pipeline)

@@ -377,3 +377,43 @@ def test_capon_pipeline_pallas_matches_linv(flagship_config):
     a = np.asarray(build_capon_pipeline(cfg, capon_method="linv")(rr, ri))
     b = np.asarray(build_capon_pipeline(cfg, capon_method="pallas")(rr, ri))
     np.testing.assert_allclose(b, a, rtol=5e-5)
+
+
+def test_bartlett_pallas_cov_matches_oracle(flagship_config):
+    """Fused covariance-pair Bartlett kernel == a^H R a oracle, and the
+    pipeline backend flag produces the same maps as the XLA path."""
+    import jax.numpy as jnp
+
+    from mmwave_radar_processing_tpu.ops import beamform as bf
+    from mmwave_radar_processing_tpu.ops.mxu import C2
+    from mmwave_radar_processing_tpu.ops.pallas.capon import (
+        bartlett_power_pallas_cov,
+    )
+    from mmwave_radar_processing_tpu.parallel.capon_pipeline import (
+        build_capon_pipeline,
+    )
+
+    rng = np.random.default_rng(3)
+    B, A, W, K, M = 4, 4, 63, 70, 64
+    xr = rng.standard_normal((B, A, W, K)).astype(np.float32)
+    xi = rng.standard_normal((B, A, W, K)).astype(np.float32)
+    st = bf.steering_ula(np.linspace(-np.pi, np.pi, M, endpoint=False), A)
+    snaps = C2(jnp.moveaxis(jnp.asarray(xr), 1, 2),
+               jnp.moveaxis(jnp.asarray(xi), 1, 2))
+    want = np.asarray(bf.bartlett_from_covariance(
+        bf.spatial_covariance(snaps), st))
+    got = np.asarray(bartlett_power_pallas_cov(
+        xr, xi, np.asarray(st.re), np.asarray(st.im), interpret=True,
+        frames_per_block=2))
+    np.testing.assert_allclose(got, want, rtol=5e-5)
+
+    cfg = flagship_config
+    shape = (2, cfg.num_rx_antennas, cfg.num_adc_samples,
+             cfg.chirps_per_frame)
+    rr = rng.standard_normal(shape).astype(np.float32)
+    ri = rng.standard_normal(shape).astype(np.float32)
+    a = np.asarray(build_capon_pipeline(cfg, method="bartlett",
+                                        bartlett_backend="xla")(rr, ri))
+    b = np.asarray(build_capon_pipeline(cfg, method="bartlett",
+                                        bartlett_backend="pallas_cov")(rr, ri))
+    np.testing.assert_allclose(b, a, rtol=5e-5, atol=1e-4)
