@@ -62,3 +62,22 @@ def ensure_complex_support() -> str:
             )
             jax.config.update("jax_platforms", "cpu")
     return jax.default_backend()
+
+
+def complex_safe_device():
+    """Context manager pinning computation to a complex-capable device.
+
+    For MIXED flows — e.g. the viewer's precompute cache runs the
+    split-complex pipelines on the accelerator while uncovered processors
+    fall back to the complex-FFT object API — the fallback must not issue
+    complex ops on a complex-free backend (one failed op can poison the
+    axon session).  Returns ``jax.default_device(cpu)`` when the default
+    platform lacks complex support, else a no-op context.
+    """
+    import contextlib
+
+    import jax
+
+    if platform_supports_complex():
+        return contextlib.nullcontext()
+    return jax.default_device(jax.devices("cpu")[0])

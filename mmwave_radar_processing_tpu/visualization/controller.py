@@ -102,6 +102,9 @@ class MmWaveRadarProcessorController:
         self.adc_buffer = deque(maxlen=max_history)
         self.current_frame = 0
         self.playback_cache = None  # PrecomputedPlayback when enabled
+        import contextlib
+
+        self._fallback_device = contextlib.nullcontext()
 
         self._view_subscribers: List[Callable] = []
         self._frame_subscribers: List[Callable] = []
@@ -233,10 +236,19 @@ class MmWaveRadarProcessorController:
         }
         adc = velocity_ned = None
         if set(self.processors) - cached_keys:
-            # fetch + reformat only when some processor still runs per-frame
+            # fetch + reformat only when some processor still runs per-frame.
+            # The object API uses complex FFTs — pin it to a complex-capable
+            # device (the axon TPU has none; the precompute cache is how the
+            # accelerator serves this path, utils/platform.py)
+            from mmwave_radar_processing_tpu.utils.platform import (
+                complex_safe_device,
+            )
+
+            self._fallback_device = complex_safe_device()
             adc = self.dataset_model.get_adc_data(idx)
             velocity_ned = self.dataset_model.get_velocity_ned(idx)
-            adc = np.asarray(self.reformatter.process(adc))
+            with self._fallback_device:
+                adc = np.asarray(self.reformatter.process(adc))
             self.adc_buffer.append(adc)
 
         for key, proc in self.processors.items():
@@ -260,7 +272,8 @@ class MmWaveRadarProcessorController:
             if spec.requires_velocity:
                 kwargs["velocity_ned"] = velocity_ned
             try:
-                result = proc.process(adc, **kwargs)
+                with self._fallback_device:
+                    result = proc.process(adc, **kwargs)
             except Exception as e:
                 self.logger.warning("processor %s failed on frame %d: %s",
                                     key, idx, e)
