@@ -367,3 +367,28 @@ def test_chunk_dispatch_bit_identical(flagship_config, rng):
     assert chunk_dispatch(pc, 1) is pc
     with pytest.raises(ValueError, match="divisible"):
         chunk_dispatch(pc, 5)(raw_re, raw_im)
+
+
+def test_chunk_dispatch_unrolled_bit_identical(flagship_config, rng):
+    """Unrolled mega-dispatch variant == chunk-by-chunk, bitwise."""
+    from mmwave_radar_processing_tpu.parallel.pipeline import (
+        build_point_cloud_pipeline,
+        chunk_dispatch_unrolled,
+    )
+
+    cfg = flagship_config
+    k, b = 2, 3
+    shape = (k * b, cfg.num_rx_antennas, cfg.num_adc_samples,
+             cfg.chirps_per_frame)
+    raw_re = rng.standard_normal(shape).astype(np.float32)
+    raw_im = rng.standard_normal(shape).astype(np.float32)
+    pc = build_point_cloud_pipeline(cfg, max_dets=32, backend="mxu")
+    got = chunk_dispatch_unrolled(pc, k)(raw_re, raw_im)
+    want = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs),
+        *[pc(raw_re[i * b:(i + 1) * b], raw_im[i * b:(i + 1) * b])
+          for i in range(k)],
+    )
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    assert chunk_dispatch_unrolled(pc, 1) is pc
