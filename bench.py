@@ -190,7 +190,22 @@ def main():
                              "latency to the pipeline)")
     parser.add_argument("--repeats", type=int, default=3,
                         help="timing repetitions; best (max frames/s) wins — "
-                             "single runs through the tunnel vary ~20%")
+                             "single runs through the tunnel vary ~20%; every "
+                             "repeat is recorded in the JSON")
+    parser.add_argument("--health-retries", type=int, default=2,
+                        help="re-time attempts when the capture looks "
+                             "degraded (tunnel probe >3x calibrated program "
+                             "cost, or >3x below the known-good record, or "
+                             ">6x the analytic floor); the final JSON carries "
+                             "degraded_run=true if every attempt stayed "
+                             "anomalous (utils/bench_health.py — guards "
+                             "against the BENCH_r04 silent 16x capture)")
+    parser.add_argument("--no-health", action="store_true",
+                        help="skip tunnel-health probing/retries (debug runs)")
+    parser.add_argument("--update-expected", action="store_true",
+                        help="persist this run's frames/s as the known-good "
+                             "record in HEALTH_EXPECTED.json (only if the "
+                             "run itself was healthy)")
     parser.add_argument("--chunks", type=int, default=None,
                         help="logical batches per program execution "
                              "(lax.scan mega-dispatch, "
@@ -409,15 +424,46 @@ def main():
 
     fence(fn(*bench_args))  # warmup: compile + one real execution
 
-    best = 0.0
-    for _ in range(max(1, args.repeats)):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(args.iters):
-            out = fn(*arg_sets[i % 2])
-        fence(out)
-        dt = time.perf_counter() - t0
-        best = max(best, args.iters * total_batch / dt)
+    # Cost analysis up front: the analytic-floor health check and the
+    # roofline fields share it (compile is cached, lower+compile is cheap).
+    flops_pd, ca_bytes_pd, cost_source = _cost_analysis(fn, bench_args)
+    input_bytes_pd = sum(
+        a.size * a.dtype.itemsize for a in bench_args if hasattr(a, "dtype"))
+
+    from mmwave_radar_processing_tpu.utils import bench_health
+
+    def timer():
+        times = []
+        for _ in range(max(1, args.repeats)):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(args.iters):
+                out = fn(*arg_sets[i % 2])
+            fence(out)
+            times.append(time.perf_counter() - t0)
+        return times
+
+    if args.no_health:
+        fps = [args.iters * total_batch / t for t in timer()]
+        health = {
+            "frames_per_s": round(max(fps), 1),
+            "per_repeat_frames_per_s": [round(f, 1) for f in fps],
+            "degraded_run": None,
+        }
+    else:
+        health = bench_health.timed_with_health(
+            timer, batch=total_batch, iters=args.iters, metric=args.metric,
+            flops_per_dispatch=flops_pd,
+            input_bytes_per_dispatch=input_bytes_pd,
+            platform=jax.default_backend(),
+            max_retries=max(0, args.health_retries))
+    best = health.pop("frames_per_s")
+
+    if args.update_expected and not health.get("degraded_run"):
+        bench_health.update_expected(args.metric, total_batch, best,
+                                     platform=jax.default_backend())
+        print(f"HEALTH_EXPECTED.json updated: {args.metric} = {best:.1f} "
+              f"frames/s @ batch {total_batch}", file=sys.stderr)
 
     base_fps, base_note = load_measured_baseline(args.metric)
     result = {
@@ -428,11 +474,13 @@ def main():
         "baseline_frames_per_s": base_fps,
         "baseline_workload": base_note,
     }
+    result.update(health)
     if chunks > 1:
         result["chunks_per_dispatch"] = chunks
     result.update(
         _roofline_fields(fn, bench_args, args, cfg, best,
-                         frames_per_dispatch=total_batch))
+                         frames_per_dispatch=total_batch,
+                         precomputed=(flops_pd, ca_bytes_pd, cost_source)))
     print(json.dumps(result))
 
 
@@ -482,8 +530,24 @@ def run_scaling(args) -> None:
     print(json.dumps(result))
 
 
+def _cost_analysis(fn, bench_args):
+    """(flops, "bytes accessed", source) per dispatch from the compiled HLO.
+
+    Returns (None, None, source) when the plugin doesn't expose
+    ``cost_analysis`` — callers fall back to the analytic models.
+    """
+    try:
+        ca = fn.lower(*bench_args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"]), float(ca["bytes accessed"]), \
+            "xla_cost_analysis"
+    except Exception:
+        return None, None, "analytic_model"
+
+
 def _roofline_fields(fn, bench_args, args, cfg, frames_per_s,
-                     frames_per_dispatch=None) -> dict:
+                     frames_per_dispatch=None, precomputed=None) -> dict:
     """MFU / roofline accounting for the timed pipeline.
 
     FLOP and HBM-byte counts come from the compiled executable's own
@@ -495,21 +559,19 @@ def _roofline_fields(fn, bench_args, args, cfg, frames_per_s,
     """
     from mmwave_radar_processing_tpu.utils import roofline
 
-    source = "xla_cost_analysis"
     n_frames = frames_per_dispatch or args.batch
+    if precomputed is None:
+        precomputed = _cost_analysis(fn, bench_args)
+    flops_pd, bytes_pd, source = precomputed
     flops_per_frame = bytes_per_frame = None
-    try:
-        ca = fn.lower(*bench_args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops_per_frame = float(ca["flops"]) / n_frames
-        bytes_per_frame = float(ca["bytes accessed"]) / n_frames
-    except Exception:
+    if flops_pd is not None:
+        flops_per_frame = flops_pd / n_frames
+        bytes_per_frame = bytes_pd / n_frames
+    else:
         model = roofline.analytic_cost(args.metric, cfg)
         if model is not None:
             flops_per_frame = model.flops_per_frame
             bytes_per_frame = model.bytes_per_frame
-            source = "analytic_model"
     if flops_per_frame is None:
         return {}
 

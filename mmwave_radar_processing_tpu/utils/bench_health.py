@@ -1,0 +1,297 @@
+"""Benchmark-capture health checks (degraded-tunnel detection).
+
+Motivation: the official round-4 benchmark capture recorded the north star at
+11,081 frames/s — a silent ~16x anomaly vs the 178,525 frames/s round-3 record
+and the builder's own 179,161 measurement from the same code path hours
+earlier.  Every utilization field was uniformly ~16x lower, consistent with a
+degraded tunnel runtime during the capture window.  ``bench.py`` reported
+best-of-3 with no spread, no floor cross-check, and no retry — so the anomaly
+was recorded as a clean number.
+
+This module makes that class of capture impossible to record silently:
+
+- :func:`tunnel_probe` times a trivial compiled kernel with the fetch-fence
+  protocol.  Its healthy cost is the calibrated per-program fixed cost
+  (``PEAKS_MEASURED.json`` ``dispatch_overhead_ms`` ~0.44 ms, measured by two
+  independent methods); a degraded runtime inflates it uniformly (the r04
+  anomaly corresponds to ~7 ms/dispatch on this probe).
+- :func:`analytic_floor_ms` computes a perfectly-overlapped per-dispatch floor
+  from the calibrated peaks: program cost + input bytes at marginal HBM
+  bandwidth + FLOPs at measured matmul throughput.  Real pipelines run 2-4x
+  above this floor (unfused op chains, VPU-bound stages); >6x is anomalous.
+- :func:`load_expected` reads ``HEALTH_EXPECTED.json`` — the last recorded
+  known-good frames/s per metric (updated via ``bench.py --update-expected``).
+  A run >3x below the known-good record for the same batch size is anomalous.
+- :func:`assess` combines the three signals into a verdict with reasons.
+- :func:`timed_with_health` wraps the timing loop with bounded retries: on an
+  anomalous verdict it re-probes, waits, and re-times; if the final attempt is
+  still anomalous the result carries ``degraded_run: true`` plus both numbers
+  (measured vs expected/floor/probe) so the record is self-describing.
+
+All device interaction is injectable (``probe``/``timer`` callables) so the
+retry and verdict logic is unit-testable on CPU without a tunnel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+EXPECTED_PATH = os.path.join(_REPO_ROOT, "HEALTH_EXPECTED.json")
+
+# Anomaly thresholds (ratios).  The r04 incident was ~16x on every signal;
+# healthy tunnel runs vary ~20% repeat-to-repeat (BENCH_SELF.md protocol
+# notes), so 3x on probe/expected has wide margin on both sides.  The floor
+# ratio threshold is looser because the floor is an *ideal* (perfect overlap,
+# marginal bandwidth) that healthy unfused pipelines legitimately sit 2-4x
+# above.
+PROBE_RATIO_LIMIT = 3.0
+EXPECTED_RATIO_LIMIT = 3.0
+FLOOR_RATIO_LIMIT = 6.0
+
+
+@dataclass
+class HealthVerdict:
+    healthy: bool
+    reasons: List[str] = field(default_factory=list)
+    probe_ms: Optional[float] = None
+    probe_ratio: Optional[float] = None
+    expected_frames_per_s: Optional[float] = None
+    expected_ratio: Optional[float] = None
+    floor_ms: Optional[float] = None
+    floor_ratio: Optional[float] = None
+
+    def fields(self) -> dict:
+        """JSON-ready fields for the bench result line."""
+        out = {}
+        if self.probe_ms is not None:
+            out["tunnel_probe_ms_per_dispatch"] = round(self.probe_ms, 3)
+        if self.probe_ratio is not None:
+            out["tunnel_probe_ratio"] = round(self.probe_ratio, 2)
+        if self.expected_frames_per_s is not None:
+            out["expected_frames_per_s"] = self.expected_frames_per_s
+        if self.expected_ratio is not None:
+            out["vs_expected_good"] = round(1.0 / self.expected_ratio, 3)
+        if self.floor_ms is not None:
+            out["floor_ms_per_dispatch"] = round(self.floor_ms, 3)
+        if self.floor_ratio is not None:
+            out["vs_floor"] = round(self.floor_ratio, 2)
+        return out
+
+
+def load_peaks() -> dict:
+    """Calibrated chip peaks (``bench.py --calibrate``), or {}."""
+    try:
+        with open(os.path.join(_REPO_ROOT, "PEAKS_MEASURED.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def load_expected(metric: str, batch: int,
+                  platform: Optional[str] = None) -> Optional[float]:
+    """Known-good frames/s for ``metric`` at this batch size, or None.
+
+    The record is only comparable at the batch size and device platform it
+    was taken at (frames/s is batch-dependent below saturation, and a CPU
+    debug run must not be judged against the TPU record), so a mismatch
+    returns None and the assessment falls back to probe + floor signals.
+    """
+    try:
+        with open(EXPECTED_PATH) as f:
+            doc = json.load(f)
+        entry = doc["metrics"][metric]
+        if int(entry["batch"]) != int(batch):
+            return None
+        if platform and entry.get("platform") and \
+                entry["platform"] != platform:
+            return None
+        return float(entry["frames_per_s"])
+    except (OSError, KeyError, ValueError, TypeError):
+        return None
+
+
+def update_expected(metric: str, batch: int, frames_per_s: float,
+                    platform: Optional[str] = None) -> dict:
+    """Persist ``frames_per_s`` as the known-good record for ``metric``."""
+    try:
+        with open(EXPECTED_PATH) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {"metrics": {}}
+    doc.setdefault("metrics", {})[metric] = {
+        "frames_per_s": round(float(frames_per_s), 1),
+        "batch": int(batch),
+        "platform": platform,
+        "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    with open(EXPECTED_PATH, "w") as f:
+        json.dump(doc, f, indent=1)
+    return doc
+
+
+def tunnel_probe(iters: int = 60) -> float:
+    """ms/dispatch of a trivial kernel chain through the live runtime.
+
+    The kernel does negligible work (one multiply-add on a 256x256 f32 tile),
+    so its per-dispatch cost is the runtime's fixed per-program cost — healthy
+    ~0.44 ms on the tunneled axon runtime (PEAKS_MEASURED.json, two agreeing
+    methods).  Timed with the fetch-fence protocol (``block_until_ready`` does
+    not block on this runtime; the single host fetch covers all ``iters``
+    FIFO-enqueued dispatches).
+    """
+    import jax
+    import numpy as np
+
+    f = jax.jit(lambda x: x * np.float32(1.000001) + np.float32(1.0))
+    x = jax.device_put(np.zeros((256, 256), np.float32))
+    y = f(x)
+    np.asarray(y.reshape(-1)[0])  # warmup fence (compile + first execution)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f(x)
+    np.asarray(y.reshape(-1)[0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def analytic_floor_ms(flops_per_dispatch: Optional[float],
+                      input_bytes_per_dispatch: Optional[float],
+                      peaks: dict) -> Optional[float]:
+    """Perfectly-overlapped per-dispatch floor from the calibrated peaks.
+
+    program_cost + input_bytes / marginal_HBM_bandwidth + FLOPs / matmul_peak.
+    Uses *input* bytes (what must physically cross HBM at least once), not
+    XLA cost-analysis "bytes accessed" (an upper bound that over-counts
+    fusion-resident reuse and would put the floor above measured reality).
+    """
+    if not peaks:
+        return None
+    floor = float(peaks.get("dispatch_overhead_ms", 0.0))
+    bw = peaks.get("measured_hbm_gbs")
+    if bw and input_bytes_per_dispatch:
+        floor += input_bytes_per_dispatch / (bw * 1e9) * 1e3
+    tf = peaks.get("measured_f32_tflops")
+    if tf and flops_per_dispatch:
+        floor += flops_per_dispatch / (tf * 1e12) * 1e3
+    return floor if floor > 0 else None
+
+
+def assess(frames_per_s: float,
+           batch: int,
+           metric: str,
+           probe_ms: Optional[float] = None,
+           peaks: Optional[dict] = None,
+           flops_per_dispatch: Optional[float] = None,
+           input_bytes_per_dispatch: Optional[float] = None,
+           expected_frames_per_s: Optional[float] = None,
+           platform: Optional[str] = None) -> HealthVerdict:
+    """Combine probe / known-good / floor signals into a health verdict."""
+    peaks = load_peaks() if peaks is None else peaks
+    v = HealthVerdict(healthy=True)
+    measured_ms = batch / frames_per_s * 1e3
+
+    cal = peaks.get("dispatch_overhead_ms")
+    if probe_ms is not None and cal:
+        v.probe_ms = probe_ms
+        v.probe_ratio = probe_ms / cal
+        if v.probe_ratio > PROBE_RATIO_LIMIT:
+            v.healthy = False
+            v.reasons.append(
+                f"tunnel probe {probe_ms:.2f} ms/dispatch is "
+                f"{v.probe_ratio:.1f}x the calibrated {cal:.3f} ms program "
+                "cost (runtime degraded)")
+
+    if expected_frames_per_s is None:
+        expected_frames_per_s = load_expected(metric, batch, platform)
+    if expected_frames_per_s:
+        v.expected_frames_per_s = expected_frames_per_s
+        v.expected_ratio = expected_frames_per_s / frames_per_s
+        if v.expected_ratio > EXPECTED_RATIO_LIMIT:
+            v.healthy = False
+            v.reasons.append(
+                f"measured {frames_per_s:.0f} frames/s is "
+                f"{v.expected_ratio:.1f}x below the known-good "
+                f"{expected_frames_per_s:.0f} (HEALTH_EXPECTED.json)")
+
+    floor = analytic_floor_ms(flops_per_dispatch, input_bytes_per_dispatch,
+                              peaks)
+    if floor:
+        v.floor_ms = floor
+        v.floor_ratio = measured_ms / floor
+        if v.floor_ratio > FLOOR_RATIO_LIMIT:
+            v.healthy = False
+            v.reasons.append(
+                f"measured {measured_ms:.2f} ms/dispatch is "
+                f"{v.floor_ratio:.1f}x the calibrated "
+                f"{floor:.2f} ms perfectly-overlapped floor")
+    return v
+
+
+def timed_with_health(timer: Callable[[], List[float]],
+                      batch: int,
+                      iters: int,
+                      metric: str,
+                      probe: Callable[[], float] = tunnel_probe,
+                      flops_per_dispatch: Optional[float] = None,
+                      input_bytes_per_dispatch: Optional[float] = None,
+                      peaks: Optional[dict] = None,
+                      expected_frames_per_s: Optional[float] = None,
+                      platform: Optional[str] = None,
+                      max_retries: int = 2,
+                      retry_wait_s: float = 10.0,
+                      sleep: Callable[[float], None] = time.sleep) -> dict:
+    """Run ``timer`` (returns per-repeat wall seconds), gate on health.
+
+    Returns a dict with the best frames/s, per-repeat record, health fields,
+    and ``degraded_run`` (True only if every attempt, up to ``max_retries``
+    re-runs, stayed anomalous).  ``timer``/``probe``/``sleep`` are injectable
+    for unit tests.
+    """
+    attempts = []
+    verdict = None
+    for attempt in range(max_retries + 1):
+        probe_ms = None
+        try:
+            probe_ms = probe()
+        except Exception:  # probe must never kill the capture
+            pass
+        times = timer()
+        fps = [iters * batch / t for t in times]
+        best = max(fps)
+        verdict = assess(
+            best, batch, metric, probe_ms=probe_ms, peaks=peaks,
+            flops_per_dispatch=flops_per_dispatch,
+            input_bytes_per_dispatch=input_bytes_per_dispatch,
+            expected_frames_per_s=expected_frames_per_s,
+            platform=platform)
+        attempts.append({
+            "per_repeat_frames_per_s": [round(f, 1) for f in fps],
+            "best_frames_per_s": round(best, 1),
+            "probe_ms": None if probe_ms is None else round(probe_ms, 3),
+            "healthy": verdict.healthy,
+        })
+        if verdict.healthy:
+            break
+        if attempt < max_retries:
+            sleep(retry_wait_s)
+
+    fps_list = attempts[-1]["per_repeat_frames_per_s"]
+    spread = (max(fps_list) - min(fps_list)) / max(fps_list) if fps_list else 0
+    result = {
+        "frames_per_s": attempts[-1]["best_frames_per_s"],
+        "per_repeat_frames_per_s": fps_list,
+        "repeat_spread_frac": round(spread, 4),
+        "degraded_run": not verdict.healthy,
+        "health_attempts": len(attempts),
+    }
+    result.update(verdict.fields())
+    if not verdict.healthy:
+        result["degraded_reasons"] = verdict.reasons
+        # every attempt's record rides along so the anomaly is auditable
+        result["attempt_history"] = attempts
+    return result
