@@ -298,6 +298,14 @@ def capon_from_covariance(
     Returns:
         ``[..., M]`` float32 Capon power.
     """
+    if method not in ("linv", "solve"):
+        # "pallas" is a pipeline-level method handled before this point
+        # (parallel/capon_pipeline.py); anything else is a misconfiguration
+        # that would otherwise silently run the slow solve path (mirrors
+        # rd_values_from_range_dft's mode check).
+        raise ValueError(
+            f"capon_from_covariance: unknown method {method!r} "
+            "(expected 'linv' or 'solve')")
     r = diagonal_load(r, loading)
     m2 = _real_embed(r)  # [..., 2A, 2A]
     b = jnp.concatenate([steering.re, steering.im], axis=0)  # (2A, M)

@@ -170,10 +170,14 @@ def measure_scaling(
                    input_feed_included=True)
 
     # ---- halo-exchange CFAR (ppermute per step) -------------------------- #
-    rows_per_dev = 64
+    # The workload constants are recorded into the results entry so the ICI
+    # projection derives its inputs from what was actually timed, not from
+    # duplicated literals that could drift (advisor round-4 finding).
+    rows_per_dev, halo_cols, halo_rows = 64, 128, 8
     for n in device_counts:
         mesh = make_mesh({"data": n}, avail[:n])
-        x = rng.exponential(1.0, (rows_per_dev * n, 128)).astype(np.float32)
+        x = rng.exponential(1.0, (rows_per_dev * n, halo_cols)).astype(
+            np.float32)
         fn = os_cfar_2d_detect_row_sharded(
             mesh, num_train=(4, 3), num_guard=(2, 1), rho=0.7, alpha=4.0,
             axis="data",
@@ -183,6 +187,10 @@ def measure_scaling(
             dt = _time_fn(fn, (xs,), iters)
         durations[("halo_cfar_2d", n)] = record(
             "halo_cfar_2d", n, x.shape[0] * x.shape[1], dt)
+    results["halo_cfar_2d"]["samples_per_step_n1"] = rows_per_dev * halo_cols
+    # train+guard boundary rows exchanged with both neighbors, f32
+    results["halo_cfar_2d"]["halo_bytes_per_dev"] = \
+        2 * halo_rows * halo_cols * 4
 
     # ---- bare collective microbenches ------------------------------------ #
     # per-collective timings at each device count, on the payload sizes the
@@ -230,6 +238,12 @@ def measure_scaling(
             dt = _time_fn(fn, args, iters)
         durations[("capon_snapshot", n)] = record("capon_snapshot", n,
                                                   n_bins * k, dt)
+    results["capon_snapshot"]["samples_per_step_n1"] = n_bins * snaps_per_dev
+    # the pipeline psums the partial covariance [n_bins, A, A] re+im planes
+    # (sharded_beamform.build_snapshot_sharded_capon) — the real ICI payload,
+    # not the microbench's proxy shape
+    results["capon_snapshot"]["psum_bytes_per_dev"] = \
+        n_bins * n_ant * n_ant * 2 * 4
 
     # ---- compute-vs-communication: collective share per pipeline row ------ #
     for pipe, coll in (("halo_cfar_2d", "ppermute_halo_rows"),
@@ -252,33 +266,39 @@ def measure_scaling(
                  "interconnect; collective_share is the bare-collective time "
                  "over the pipeline step at the same payload/device count"),
     }
+    # project out past the measurable range: the first real pod-slice runs
+    # will be n=8/16/32, so the falsification table covers them up front
+    proj_counts = sorted(set(device_counts) | {8, 16, 32})
     results["ici_projection"] = predict_ici_efficiency(
-        results,
-        halo_bytes_per_dev=2 * 8 * 128 * 4,  # ppermute payload both dirs
-        psum_bytes_per_dev=63 * 64 * 4,  # partial covariance shard
-        device_counts=device_counts,
-    )
+        results, device_counts=proj_counts)
     return results
 
 
-#: stated assumptions for the ICI projection — v5e-class figures from public
-#: documentation (jax-ml.github.io/scaling-book): ~4 ICI links per chip at
-#: ~45 GB/s usable each direction; per-collective-step software+wire latency
-#: a few microseconds.  Conservative single-link figures are used so the
-#: projection errs toward *under*-predicting efficiency.
-ICI_ASSUMPTIONS = {
-    "ici_bw_gbs": 45.0,
-    "ici_latency_us": 3.0,
+#: per-ICI-generation link assumptions for the projection — approximate
+#: figures from public documentation (jax-ml.github.io/scaling-book):
+#: v5e: 2D torus, ~45 GB/s usable per link each direction; v5p: 3D torus,
+#: ~90 GB/s per link; per-collective-step software+wire latency a few
+#: microseconds.  Single-link figures (no multi-link striping credit) so each
+#: preset errs toward *under*-predicting efficiency.  ``DEFAULT_ICI_PRESET``
+#: is the most conservative; headline numbers use it.
+ICI_PRESETS = {
+    "v5e-2d-torus": {"ici_bw_gbs": 45.0, "ici_latency_us": 3.0},
+    "v5p-3d-torus": {"ici_bw_gbs": 90.0, "ici_latency_us": 2.0},
 }
+DEFAULT_ICI_PRESET = "v5e-2d-torus"
+
+#: backward-compatible alias for the conservative default assumptions
+ICI_ASSUMPTIONS = ICI_PRESETS[DEFAULT_ICI_PRESET]
 
 
 def predict_ici_efficiency(
     results: Dict,
     *,
-    halo_bytes_per_dev: int,
-    psum_bytes_per_dev: int,
     device_counts: Sequence[int],
+    halo_bytes_per_dev: int = None,
+    psum_bytes_per_dev: int = None,
     assumptions: Dict = None,
+    presets: Dict = None,
 ) -> Dict:
     """Falsifiable n-chip efficiency prediction from single-device measurements.
 
@@ -291,6 +311,17 @@ def predict_ici_efficiency(
     pipeline with every assumption stated, so the >=80% north-star leg is a
     prediction the first real multi-chip run can falsify — not a narrative.
 
+    Workload constants (samples per step, collective payload bytes) are read
+    from the fields ``measure_scaling`` records next to its own timings
+    (``samples_per_step_n1``, ``halo_bytes_per_dev``, ``psum_bytes_per_dev``)
+    — the explicit kwargs exist only as overrides for what-if runs.
+
+    Link figures are parameterized per ICI generation (:data:`ICI_PRESETS`);
+    the top-level ``pipelines``/``min_predicted_efficiency`` fields use the
+    conservative default preset, and ``presets`` carries the same table for
+    every generation so the first hardware run on ANY of them is a
+    one-command falsification.
+
     Collective models (standard ring forms, scaling-book conventions):
 
     - ``ppermute`` (CFAR halo): one neighbor exchange,
@@ -300,67 +331,88 @@ def predict_ici_efficiency(
     - frame-DP ``combined``: no hot-path collectives; the only non-compute
       term is the measured per-process input-feed share.
     """
-    a = dict(assumptions or ICI_ASSUMPTIONS)
-    bw = a["ici_bw_gbs"] * 1e9
-    lat = a["ici_latency_us"] * 1e-6
-    out = {"assumptions": a, "pipelines": {}}
+    h = results.get("halo_cfar_2d") or {}
+    cs = results.get("capon_snapshot") or {}
+    halo_bytes = (halo_bytes_per_dev if halo_bytes_per_dev is not None
+                  else h.get("halo_bytes_per_dev"))
+    psum_bytes = (psum_bytes_per_dev if psum_bytes_per_dev is not None
+                  else cs.get("psum_bytes_per_dev"))
 
-    # combined: feed share measured at n=1 (per-process feed is constant
-    # per host in multi-host deployment)
-    c = results.get("combined")
-    cf = results.get("combined_with_feed")
-    if c and cf:
-        feed_share = max(0.0, c["samples_per_s"][0] / cf["samples_per_s"][0]
-                         - 1.0)
-        rows = {int(n): round(1.0 / (1.0 + feed_share), 4)
-                for n in device_counts}
-        out["pipelines"]["combined_with_feed"] = {
-            "model": "frame-DP, no hot-path collectives; eff = 1/(1+feed_share)",
-            "measured_feed_share_n1": round(feed_share, 4),
-            "eff_pred": rows,
+    def one_preset(a: Dict) -> Dict:
+        bw = a["ici_bw_gbs"] * 1e9
+        lat = a["ici_latency_us"] * 1e-6
+        pipelines = {}
+
+        # combined: feed share measured at n=1 (per-process feed is constant
+        # per host in multi-host deployment)
+        c = results.get("combined")
+        cf = results.get("combined_with_feed")
+        if c and cf:
+            feed_share = max(
+                0.0, c["samples_per_s"][0] / cf["samples_per_s"][0] - 1.0)
+            rows = {int(n): round(1.0 / (1.0 + feed_share), 4)
+                    for n in device_counts}
+            pipelines["combined_with_feed"] = {
+                "model": "frame-DP, no hot-path collectives; "
+                         "eff = 1/(1+feed_share)",
+                "measured_feed_share_n1": round(feed_share, 4),
+                "eff_pred": rows,
+            }
+
+        if h.get("samples_per_s") and h.get("samples_per_step_n1") \
+                and halo_bytes:
+            t_comp = h["samples_per_step_n1"] / h["samples_per_s"][0]
+            t_coll = halo_bytes / bw + lat
+            rows = {int(n): (1.0 if n == 1 else
+                             round(t_comp / (t_comp + t_coll), 4))
+                    for n in device_counts}
+            pipelines["halo_cfar_2d"] = {
+                "model": "eff = t_comp / (t_comp + bytes/bw + lat)",
+                "t_comp_us_n1": round(t_comp * 1e6, 2),
+                "t_coll_us_pred": round(t_coll * 1e6, 2),
+                "halo_bytes_per_dev": halo_bytes,
+                "eff_pred": rows,
+            }
+
+        if cs.get("samples_per_s") and cs.get("samples_per_step_n1") \
+                and psum_bytes:
+            t_comp = cs["samples_per_step_n1"] / cs["samples_per_s"][0]
+            rows = {}
+            for n in device_counts:
+                if n == 1:
+                    rows[int(n)] = 1.0
+                    continue
+                t_coll = (2.0 * psum_bytes * (n - 1) / n / bw
+                          + 2.0 * np.log2(n) * lat)
+                rows[int(n)] = round(t_comp / (t_comp + t_coll), 4)
+            pipelines["capon_snapshot"] = {
+                "model": "eff = t_comp / (t_comp + 2*bytes*(n-1)/n/bw "
+                         "+ 2*log2(n)*lat)",
+                "t_comp_us_n1": round(t_comp * 1e6, 2),
+                "psum_bytes_per_dev": psum_bytes,
+                "eff_pred": rows,
+            }
+
+        preds = [min(p["eff_pred"].values())
+                 for p in pipelines.values() if p.get("eff_pred")]
+        return {
+            "assumptions": dict(a),
+            "pipelines": pipelines,
+            "min_predicted_efficiency": (round(min(preds), 4) if preds
+                                         else None),
+            "meets_80pct_bar": bool(preds and min(preds) >= 0.80),
         }
 
-    # halo CFAR: t_comp from the n=1 row, halo exchange per step.
-    # 64*128 = rows_per_dev * width, the n=1 samples-per-step the harness
-    # timed above (keep in sync with measure_scaling)
-    h = results.get("halo_cfar_2d")
-    if h and h["samples_per_s"]:
-        t_comp = 64 * 128 / h["samples_per_s"][0]
-        t_coll = halo_bytes_per_dev / bw + lat
-        rows = {int(n): (1.0 if n == 1 else
-                         round(t_comp / (t_comp + t_coll), 4))
-                for n in device_counts}
-        out["pipelines"]["halo_cfar_2d"] = {
-            "model": "eff = t_comp / (t_comp + bytes/bw + lat)",
-            "t_comp_us_n1": round(t_comp * 1e6, 2),
-            "t_coll_us_pred": round(t_coll * 1e6, 2),
-            "halo_bytes_per_dev": halo_bytes_per_dev,
-            "eff_pred": rows,
-        }
+    if assumptions is not None:
+        preset_tables = {"custom": one_preset(assumptions)}
+        default_key = "custom"
+    else:
+        use = presets or ICI_PRESETS
+        preset_tables = {name: one_preset(a) for name, a in use.items()}
+        default_key = (DEFAULT_ICI_PRESET if DEFAULT_ICI_PRESET in use
+                       else next(iter(use)))
 
-    # snapshot-sharded capon: ring all-reduce of the partial covariances
-    # 64*32 = n_bins * snaps_per_dev (the n=1 samples-per-step above)
-    cs = results.get("capon_snapshot")
-    if cs and cs["samples_per_s"]:
-        t_comp = 64 * 32 / cs["samples_per_s"][0]
-        rows = {}
-        for n in device_counts:
-            if n == 1:
-                rows[int(n)] = 1.0
-                continue
-            t_coll = (2.0 * psum_bytes_per_dev * (n - 1) / n / bw
-                      + 2.0 * np.log2(n) * lat)
-            rows[int(n)] = round(t_comp / (t_comp + t_coll), 4)
-        out["pipelines"]["capon_snapshot"] = {
-            "model": "eff = t_comp / (t_comp + 2*bytes*(n-1)/n/bw "
-                     "+ 2*log2(n)*lat)",
-            "t_comp_us_n1": round(t_comp * 1e6, 2),
-            "psum_bytes_per_dev": psum_bytes_per_dev,
-            "eff_pred": rows,
-        }
-
-    preds = [min(p["eff_pred"].values())
-             for p in out["pipelines"].values() if p.get("eff_pred")]
-    out["min_predicted_efficiency"] = round(min(preds), 4) if preds else None
-    out["meets_80pct_bar"] = bool(preds and min(preds) >= 0.80)
+    out = dict(preset_tables[default_key])
+    out["default_preset"] = default_key
+    out["presets"] = preset_tables
     return out

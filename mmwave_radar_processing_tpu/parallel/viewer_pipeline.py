@@ -84,8 +84,10 @@ def build_viewer_payload_pipeline(
     ``points [max_dets, 4]``, ``pt_valid [max_dets]``, ``pt_count []``.
 
     ``include``: output groups to compute (subset of
-    ``{"md", "da", "ra", "det2d", "det1d"}``; ``rd_map``/``range_profile``
-    are always produced, ``points`` rides with ``det2d``).  Default: all.
+    ``{"md", "da", "ra", "det2d", "detseq", "det1d"}``; ``rd_map``/
+    ``range_profile`` are always produced, ``points`` rides with ``det2d``;
+    ``detseq`` is the sequential range->velocity detector group that
+    ``visualization/precompute.py`` maps registry keys onto).  Default: all.
     """
     ns, nloops = cfg.num_adc_samples, cfg.frame.loops
     num_rx, cpl = cfg.num_rx_antennas, cfg.chirp_cfgs_per_loop

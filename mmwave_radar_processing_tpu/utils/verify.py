@@ -319,6 +319,12 @@ def run_verify(metrics: Sequence[str], batch: int, seed: int = 7,
 
     from mmwave_radar_processing_tpu.config import load_cfg
 
+    # Clamp once HERE so oracle and device always see the same leading dim:
+    # the spawned --verify-dump path used to re-clamp to min(batch, 32) while
+    # the in-process device run used the caller's value — a direct
+    # run_verify(batch=64) then produced shape-mismatched comparisons.
+    batch = min(batch, 32)
+
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     cfg = load_cfg(os.path.join(here, "configs", "6843_RadVel_ods_20Hz.cfg"),

@@ -234,22 +234,35 @@ class MmWaveRadarProcessorController:
         cached_keys = {
             k for k in self.processors if cache is not None and cache.covers(k)
         }
-        adc = velocity_ned = None
-        if set(self.processors) - cached_keys:
-            # fetch + reformat only when some processor still runs per-frame.
-            # The object API uses complex FFTs — pin it to a complex-capable
-            # device (the axon TPU has none; the precompute cache is how the
-            # accelerator serves this path, utils/platform.py)
+        frame_inputs = {}
+
+        def ensure_frame_inputs():
+            """Fetch + reformat the frame lazily, at most once.
+
+            Called up front when some processor runs per-frame, and again on a
+            cache miss (e.g. ``idx`` scrubbed outside the cached range) so a
+            miss degrades to a real per-frame recompute instead of handing the
+            processor a None cube.  The object API uses complex FFTs — pin it
+            to a complex-capable device (the axon TPU has none; the precompute
+            cache is how the accelerator serves this path, utils/platform.py).
+            """
+            if frame_inputs:
+                return
             from mmwave_radar_processing_tpu.utils.platform import (
                 complex_safe_device,
             )
 
             self._fallback_device = complex_safe_device()
             adc = self.dataset_model.get_adc_data(idx)
-            velocity_ned = self.dataset_model.get_velocity_ned(idx)
+            frame_inputs["velocity_ned"] = self.dataset_model.get_velocity_ned(
+                idx)
             with self._fallback_device:
                 adc = np.asarray(self.reformatter.process(adc))
             self.adc_buffer.append(adc)
+            frame_inputs["adc"] = adc
+
+        if set(self.processors) - cached_keys:
+            ensure_frame_inputs()
 
         for key, proc in self.processors.items():
             spec = self.registry[key]
@@ -265,15 +278,16 @@ class MmWaveRadarProcessorController:
                                              else np.asarray(val))
                     self._emit_view(key, payload)
                     continue
+                ensure_frame_inputs()  # cache miss -> per-frame recompute
             # YAML params flow verbatim into process(); every processor takes
             # **kwargs, matching the reference's dynamic contract
             # (view_controller.py:85-101)
             kwargs = dict(self.processor_params.get(key, {}))
             if spec.requires_velocity:
-                kwargs["velocity_ned"] = velocity_ned
+                kwargs["velocity_ned"] = frame_inputs.get("velocity_ned")
             try:
                 with self._fallback_device:
-                    result = proc.process(adc, **kwargs)
+                    result = proc.process(frame_inputs.get("adc"), **kwargs)
             except Exception as e:
                 self.logger.warning("processor %s failed on frame %d: %s",
                                     key, idx, e)

@@ -92,6 +92,24 @@ def test_capon_matches_numpy_oracle(rng):
     np.testing.assert_allclose(got, oracle, rtol=1e-3, atol=1e-5)
 
 
+def test_capon_rejects_unknown_method(rng):
+    """A typo'd / leaked method string must raise, not silently run 'solve'.
+
+    'pallas' is a pipeline-level backend resolved before
+    ``capon_from_covariance`` (parallel/capon_pipeline.py); if it leaks
+    through — or a user typos 'liv' — the old behavior was a silent fall
+    through to the slow solve path.
+    """
+    import pytest
+
+    x = random_snapshots(rng, (2, 4, 8))
+    steering = bf.steering_ula(grids.phase_shift_bins(16), 4)
+    r = bf.spatial_covariance(mxu.from_complex(x))
+    for bad in ("pallas", "liv", ""):
+        with pytest.raises(ValueError, match="unknown method"):
+            bf.capon_from_covariance(r, steering, method=bad)
+
+
 def test_point_cloud_capon_aoa(flagship_config):
     """PointCloudGenerator(aoa_method="capon") recovers a planted azimuth.
 

@@ -321,10 +321,12 @@ def test_input_feed_assembles_global_batch(flagship_config, tmp_path):
 def test_chunk_dispatch_bit_identical(flagship_config, rng):
     """One K-chunk mega-dispatch == K independent dispatches, bitwise.
 
-    ``chunk_dispatch`` exists to amortize the fixed per-program cost of the
-    tunneled runtime (PEAKS_MEASURED.json: 2.389 ms/execution) — it must be a
-    pure re-dispatch of the same compiled step, so every output leaf has to
-    match the chunk-by-chunk result exactly, not approximately.
+    ``chunk_dispatch`` was built to amortize what round 3 calibrated as a
+    2.389 ms/execution fixed cost; round 4's re-calibration corrected that to
+    ~0.44 ms (PEAKS_MEASURED.json) and measured chunking as a net loss, so it
+    survives only as an option — but it must remain a pure re-dispatch of the
+    same compiled step, so every output leaf has to match the chunk-by-chunk
+    result exactly, not approximately.
     """
     from mmwave_radar_processing_tpu.parallel.pipeline import chunk_dispatch
     from mmwave_radar_processing_tpu.parallel.velocity_pipeline import (

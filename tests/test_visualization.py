@@ -357,3 +357,44 @@ def test_precomputed_detector_parity_sequential_and_ground(sim_dataset, tmp_path
             np.testing.assert_allclose(
                 pre[key][i]["rng_dop_resp"], ref[key][i]["rng_dop_resp"],
                 rtol=2e-4, atol=1e-3)
+
+
+def test_cache_miss_degrades_to_per_frame_recompute(sim_dataset, monkeypatch):
+    """A covered key whose cached payload misses must recompute per-frame.
+
+    Regression (advisor round-4): with every processor covered by the cache,
+    the frame inputs were never fetched, so a payload() miss (e.g. scrubbing
+    outside the cached range) fell through to ``proc.process(None)`` — a
+    guaranteed exception swallowed as a per-frame warning, and the view
+    silently never updated.  The miss must instead fetch the frame lazily and
+    emit a real recomputed payload.
+    """
+    ref_ctl = _fresh_controller(sim_dataset)
+    ref_payloads = {}
+    ref_ctl.subscribe_view_update(
+        lambda k, p, store=ref_payloads: store.setdefault(k, []).append(p))
+    ref_ctl.process_next_frame(0)
+
+    ctl = _fresh_controller(sim_dataset)
+    covered = ctl.enable_precomputed_playback()
+    missing_key = "range_doppler_resp"
+    assert missing_key in covered
+    cache = ctl.playback_cache
+    real_payload = cache.payload
+    monkeypatch.setattr(
+        cache, "payload",
+        lambda k, i: None if k == missing_key else real_payload(k, i))
+
+    payloads = {}
+    ctl.subscribe_view_update(
+        lambda k, p, store=payloads: store.setdefault(k, []).append(p))
+    ctl.process_next_frame(0)
+
+    # the missed key emitted a real per-frame payload matching the reference
+    # per-frame controller — not a swallowed exception
+    assert missing_key in payloads
+    got = np.asarray(payloads[missing_key][0]["data"])
+    want = np.asarray(ref_payloads[missing_key][0]["data"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # the other covered keys still served from the cache
+    assert set(payloads) == set(ref_payloads)
