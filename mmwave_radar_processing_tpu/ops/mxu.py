@@ -220,7 +220,8 @@ def aoa_peak_angles(vals: C2, pos, factors, angle_bins: jax.Array,
 
 
 def range_dft_channels(
-    raw: C2, channels, rng_factors, *, num_rx: int, cfgs_per_loop: int
+    raw: C2, channels, rng_factors, *, num_rx: int, cfgs_per_loop: int,
+    precision=None,
 ) -> C2:
     """Virtual-array reformat fused into the windowed range DFT.
 
@@ -256,10 +257,10 @@ def range_dft_channels(
     sel_im = jnp.stack(
         [r4_im[int(v) % num_rx, :, :, int(v) // num_rx] for v in channels]
     )
-    out_re = (jnp.einsum("asl,sw->awl", sel_re, rc)
-              + jnp.einsum("asl,sw->awl", sel_im, rs))
-    out_im = (jnp.einsum("asl,sw->awl", sel_im, rc)
-              - jnp.einsum("asl,sw->awl", sel_re, rs))
+    out_re = (jnp.einsum("asl,sw->awl", sel_re, rc, precision=precision)
+              + jnp.einsum("asl,sw->awl", sel_im, rs, precision=precision))
+    out_im = (jnp.einsum("asl,sw->awl", sel_im, rc, precision=precision)
+              - jnp.einsum("asl,sw->awl", sel_re, rs, precision=precision))
     return C2(out_re, out_im)
 
 
@@ -343,6 +344,148 @@ def rd_values_from_range_dft(
     val_im = (jnp.einsum("alk,lk->ak", u_im, t_c, precision=hi)
               - jnp.einsum("alk,lk->ak", u_re, t_s, precision=hi))
     return C2(val_re, val_im)
+
+
+def doppler_factors_strided(dop_factors, cfg_idx: int, cfgs_per_loop: int):
+    """Expand ``(L, V)`` Doppler factors to the raw ``(L*cpl, V)`` chirp layout.
+
+    TDM chirp order is ``chirp = loop*cpl + cfg`` (``virtual_array.py``), so a
+    virtual channel's Doppler transform over loops equals a contraction over
+    RAW chirps with a factor matrix that is zero except at rows
+    ``cfg_idx::cpl``.  Folding the stride into the (static) factor matrix lets
+    the Doppler DFT run directly on un-reformatted raw data — no reshape, no
+    strided slice, no virtual-cube intermediate (measured: the reshape/stack
+    relayout dominates the round-4 range-DFT stage, ab_rangedft.py).
+    """
+    dc, ds = dop_factors
+    nl = dc.shape[0]
+    out_c = np.zeros((nl * cfgs_per_loop, dc.shape[1]), np.float32)
+    out_s = np.zeros((nl * cfgs_per_loop, ds.shape[1]), np.float32)
+    out_c[cfg_idx::cfgs_per_loop, :] = np.asarray(dc)
+    out_s[cfg_idx::cfgs_per_loop, :] = np.asarray(ds)
+    # numpy (not jnp) on purpose: this helper runs inside traced pipelines,
+    # where jnp.asarray would stage the constant into a tracer and break the
+    # static hi/lo splitting downstream
+    return out_c, out_s
+
+
+def rd0_map_from_raw(raw: C2, rx: int, rng_factors, dop_strided) -> C2:
+    """One virtual channel's windowed RD map straight from the raw cube.
+
+    ``(E_w^T raw[rx]) @ D_strided`` — two clean matmul chains, no reformat
+    reshape and no range-DFT intermediate in HBM (XLA fuses the pair).
+    Equal to ``range_doppler_map_mxu(reformat(raw)[chan])`` for the channel
+    ``chan = cfg*num_rx + rx`` whose strided factors were built by
+    :func:`doppler_factors_strided` (float tolerance: summation order
+    differs).
+    """
+    rc, rs = rng_factors
+    d0c, d0s = dop_strided
+    t_re = (jnp.einsum("sc,sw->wc", raw.re[rx], rc)
+            + jnp.einsum("sc,sw->wc", raw.im[rx], rs))
+    t_im = (jnp.einsum("sc,sw->wc", raw.im[rx], rc)
+            - jnp.einsum("sc,sw->wc", raw.re[rx], rs))
+    return C2(t_re @ d0c + t_im @ d0s, t_im @ d0c - t_re @ d0s)
+
+
+#: static hi/lo bf16 split of a factor matrix — hi passes a default-precision
+#: MXU matmul exactly (it IS bf16), lo carries the residual
+def _static_hilo(m: np.ndarray):
+    hi = np.asarray(m, np.float32).astype(jnp.bfloat16).astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray(np.asarray(m, np.float32) - hi)
+
+
+def rd_values_from_raw(
+    raw: C2, rng_factors, dop_factors, r_idx: jax.Array, v_idx: jax.Array,
+    *, channels, num_rx: int, cfgs_per_loop: int, mode: str = "fast",
+) -> C2:
+    """Per-detection RD values straight from the raw cube (no union cube).
+
+    ``val[a, k] = sum_{s,c} raw[rx_a, s, j_a + c*cpl] * F[s, k] * H[c, k]``
+    with ``F = (C - jS)_rng[:, r_k]`` (one-hot-selected range-DFT rows) and
+    ``H = (C - jS)_dop[:, v_k]``.  Evaluation order: ``P[rx] = raw[rx]^T F``
+    (one clean ``(nt, ns) x (ns, K)`` matmul per rx/plane — the only
+    O(ns*nt*K) term, and it reads the raw cube directly), then per channel a
+    strided sublane slice of ``P`` contracts with ``H`` on the VPU.  Compared
+    with the round-4 union-cube path this removes the reformat reshape, the
+    7-channel stacking, and the R materialization entirely.
+
+    ``mode``:
+
+    - ``"fast"``: default-precision matmuls.  The raw operand truncates to
+      bf16 but the error then *averages* over the 63-sample contraction
+      (vs the round-4 path where the one-hot truncated the final values) —
+      measurably fewer AoA flips at the same speed class.
+    - ``"exact"``: the factor-selection matmuls run on static hi/lo splits
+      (exact), and the ``P`` matmuls at ``Precision.HIGH`` (bf16x3 — f32-
+      equivalent to ~1e-7 relative); the trailing VPU contraction is f32
+      exact.  CPU-faithful AoA decisions at ~3x the matmul cost of fast
+      (still no HBM intermediates).
+
+    Args:
+        raw: ``(num_rx, ns, nt)`` split-complex raw cube.
+        channels: static virtual channel indices (``v = cfg*num_rx + rx``).
+
+    Returns:
+        ``C2`` of shape ``(len(channels), K)``.
+    """
+    rc, rs = rng_factors
+    dc, ds = dop_factors
+    w, nv = rc.shape[1], dc.shape[1]
+    oh_r = (r_idx[None, :] == jnp.arange(w)[:, None]).astype(jnp.float32)
+    oh_v = (v_idx[None, :] == jnp.arange(nv)[:, None]).astype(jnp.float32)
+    oh_vT = oh_v.T  # (K, V)
+
+    # per-chirp-cfg Doppler factors expanded to the raw 210-chirp layout
+    # (static, zeros off-stride) — selecting columns of these instead of
+    # slicing P with a lane stride: lane-strided slices relayout the whole
+    # (K, nt) plane per channel (measured 2.5x pipeline regression).
+    cfgs_needed = sorted({int(v) // num_rx for v in channels})
+    dstr = {c: doppler_factors_strided((dc, ds), c, cfgs_per_loop)
+            for c in cfgs_needed}
+
+    if mode == "fast":
+        f_c, f_s = rc @ oh_r, rs @ oh_r  # (ns, K)
+        h = {c: (oh_vT @ dstr[c][0].T, oh_vT @ dstr[c][1].T)  # (K, nt)
+             for c in cfgs_needed}
+        prec = None
+    elif mode == "exact":
+        rch, rcl = _static_hilo(rc)
+        rsh, rsl = _static_hilo(rs)
+        f_c = rch @ oh_r + rcl @ oh_r
+        f_s = rsh @ oh_r + rsl @ oh_r
+        h = {}
+        for c in cfgs_needed:
+            dch, dcl = _static_hilo(np.asarray(dstr[c][0]).T)
+            dsh, dsl = _static_hilo(np.asarray(dstr[c][1]).T)
+            h[c] = (oh_vT @ dch + oh_vT @ dcl, oh_vT @ dsh + oh_vT @ dsl)
+        prec = jax.lax.Precision.HIGH
+    else:
+        raise ValueError(f"unknown rd-values mode {mode!r}")
+
+    # K-major orientation: ``P[rx] = F^T raw[rx]`` keeps the big raw operand
+    # on the RHS in its natural (ns, nt) layout — contracting raw's leading
+    # axis with raw as LHS forces XLA to relayout the whole cube.  Only the
+    # tiny (ns, K) factor selections are transposed.
+    fct, fst = f_c.T, f_s.T  # (K, ns)
+    rx_needed = sorted({int(v) % num_rx for v in channels})
+    p = {}
+    for rx in rx_needed:
+        ar, ai = raw.re[rx], raw.im[rx]  # (ns, nt)
+        p_re = (jnp.einsum("ks,st->kt", fct, ar, precision=prec)
+                + jnp.einsum("ks,st->kt", fst, ai, precision=prec))
+        p_im = (jnp.einsum("ks,st->kt", fct, ai, precision=prec)
+                - jnp.einsum("ks,st->kt", fst, ar, precision=prec))
+        p[rx] = (p_re, p_im)
+
+    vals_re, vals_im = [], []
+    for v in channels:
+        rx, cfg = int(v) % num_rx, int(v) // num_rx
+        pa_re, pa_im = p[rx]
+        h_c, h_s = h[cfg]  # (K, nt), zeros off this cfg's chirp stride
+        vals_re.append(jnp.sum(pa_re * h_c + pa_im * h_s, axis=-1))
+        vals_im.append(jnp.sum(pa_im * h_c - pa_re * h_s, axis=-1))
+    return C2(jnp.stack(vals_re), jnp.stack(vals_im))
 
 
 def rd_values_at(

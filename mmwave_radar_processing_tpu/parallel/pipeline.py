@@ -47,6 +47,7 @@ def build_point_cloud_pipeline(
     reformat_input: bool = True,
     backend: str = "mxu",
     aoa_precision: str = "fast",
+    dataflow: str = "union",
 ):
     """Compile a ``[B, rx, ns, nc] -> PointCloudBatch`` pipeline function.
 
@@ -76,6 +77,7 @@ def build_point_cloud_pipeline(
             shift_el_resp=shift_el_resp,
             reformat_input=reformat_input,
             aoa_precision=aoa_precision,
+            dataflow=dataflow,
         )
     if backend != "xla":
         raise ValueError(f"unknown backend {backend!r}")
@@ -141,6 +143,7 @@ def _build_pipeline_mxu(
     shift_el_resp,
     reformat_input,
     aoa_precision="fast",
+    dataflow="union",
 ):
     """Split-complex MXU pipeline: ``(raw_re, raw_im) -> PointCloudBatch``.
 
@@ -196,25 +199,85 @@ def _build_pipeline_mxu(
     interior = ((edge_r, edge_d)
                 if ns - 2 * edge_r > 0 and nc_loops - 2 * edge_d > 0 else None)
 
+    if dataflow == "raw" and reformat_input:
+        # Round-5 dataflow: every consumer contracts the RAW cube directly.
+        # The round-4 union-cube path reshaped raw to (rx, ns, loops, cpl)
+        # and stacked 7 strided channel slices before the range DFT — the
+        # relayout dominated the front half (2.07 of 2.86 ms at batch 1024,
+        # ab_rangedft.py, vs ~0.8 ms of physics).  Here the CFAR map is
+        # ``(E_w^T raw[0]) @ D0`` with the chirp-cfg stride folded into the
+        # static Doppler factors, and per-detection AoA values contract raw
+        # against one-hot-selected factor rows — no reformat reshape, no
+        # union-cube intermediate, nothing but the raw read + small matmuls.
+        dop0_strided = mxu.doppler_factors_strided(dop_factors, 0, cpl)
+        union_chans = tuple(int(v) for v in union_idx)
+
+        def single_frame(raw_re, raw_im):
+            raw = mxu.C2(raw_re, raw_im)
+            rd0 = mxu.rd0_map_from_raw(raw, 0, rng_factors, dop0_strided)
+            mag = mxu.cabs(rd0)
+            det = cfar_ops.os_2d_detect(mag, **cfar_params)
+            r_i, v_i, valid, count = masked.mask_to_indices_2d(
+                det, max_dets, interior=interior
+            )
+            if union_idx.size:
+                vals = mxu.rd_values_from_raw(
+                    raw, rng_factors, dop_factors, r_i, v_i,
+                    channels=union_chans, num_rx=num_rx, cfgs_per_loop=cpl,
+                    mode="fast" if aoa_precision == "fast" else "exact",
+                )
+            aoa_prec = None if aoa_precision == "fast" else "highest"
+            az = (
+                mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins,
+                                    precision=aoa_prec)
+                if az_idx.size
+                else jnp.zeros(r_i.shape, jnp.float32)
+            )
+            el = (
+                mxu.aoa_peak_angles(vals, el_pos, el_factors, angle_bins,
+                                    precision=aoa_prec)
+                if el_idx.size
+                else jnp.zeros(r_i.shape, jnp.float32)
+            )
+            ranges = r_i.astype(jnp.float32) * range_res
+            vels = vel0 + v_i.astype(jnp.float32) * vel_res
+            pts = spherical_to_cartesian_flu(ranges, az, el, vels)
+            pts = jnp.where(valid[:, None], pts, 0.0)
+            return PointCloudBatch(pts, valid, count)
+
+        return jax.jit(jax.vmap(single_frame))
+
+    if aoa_precision not in ("fast", "exact", "f32"):
+        raise ValueError(f"unknown aoa_precision {aoa_precision!r}")
+    # "f32": the WHOLE decision chain runs at f32-equivalent precision —
+    # range DFT and Doppler map at Precision.HIGH (bf16x3 passes), exact
+    # hi/lo value selection, f32 angle transform.  Closes the device-vs-CPU
+    # gap that "exact" (selection-only) left: with bf16 R the verify set-IoU
+    # plateaued at ~0.88 because the CFAR map and selected values themselves
+    # carried bf16 error (VERIFY_MEASURED round 4).
+    dft_prec = jax.lax.Precision.HIGH if aoa_precision == "f32" else None
+    sel_mode = "exact" if aoa_precision in ("exact", "f32") else "fast"
+
     def single_frame(raw_re, raw_im):
         if reformat_input:
             # reformat folded into the windowed range DFT: raw cube read
             # once by the contraction, no virtual-cube intermediate
             R = mxu.range_dft_channels(
                 mxu.C2(raw_re, raw_im), chans, rng_factors,
-                num_rx=num_rx, cfgs_per_loop=cpl,
+                num_rx=num_rx, cfgs_per_loop=cpl, precision=dft_prec,
             )
         else:
             sel = mxu.C2(raw_re[jnp.asarray(chans)],
                          raw_im[jnp.asarray(chans)])
-            R = mxu.dft_apply(sel, rng_factors, axis=-2)
+            R = mxu.dft_apply(sel, rng_factors, axis=-2, precision=dft_prec)
         # CFAR detects on antenna 0's magnitude map only; the other channels'
         # RD responses are never materialized — per-detection values come
         # from one-hot contractions of the shared R instead (stage bisection
         # on the real chip put the materialize+gather AoA at ~24 ms of a
         # 37 ms dispatch)
         rd0 = mxu.dft_apply(
-            mxu.C2(R.re[ch0_pos], R.im[ch0_pos]), dop_factors, axis=-1
+            mxu.C2(R.re[ch0_pos], R.im[ch0_pos]), dop_factors, axis=-1,
+            precision=dft_prec,
         )
         mag = mxu.cabs(rd0)
         # detection-only counting CFAR: bit-exact vs the threshold path,
@@ -226,8 +289,8 @@ def _build_pipeline_mxu(
         if union_idx.size:
             sub = mxu.C2(R.re[aoa_start:], R.im[aoa_start:])
             vals = mxu.rd_values_from_range_dft(sub, dop_factors, r_i, v_i,
-                                                mode=aoa_precision)
-        aoa_prec = "highest" if aoa_precision == "exact" else None
+                                                mode=sel_mode)
+        aoa_prec = "highest" if aoa_precision in ("exact", "f32") else None
         az = (
             mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins,
                                 precision=aoa_prec)

@@ -38,8 +38,8 @@ from typing import Dict, Sequence
 import numpy as np
 
 #: metrics covered by the verify pass (every fused device pipeline)
-VERIFY_METRICS = ("pointcloud", "pointcloud_exact", "velocity", "combined",
-                  "ground", "capon", "bartlett")
+VERIFY_METRICS = ("pointcloud", "pointcloud_exact", "pointcloud_f32",
+                  "velocity", "combined", "ground", "capon", "bartlett")
 
 #: minimum fraction of exactly-agreeing elements for int/bool leaves
 MIN_DISCRETE_AGREEMENT = 0.99
@@ -93,16 +93,17 @@ def make_inputs(cfg, batch: int, seed: int = 7):
 def _build_fn(cfg, metric: str):
     from bench import AZ_IDXS, CFAR_PARAMS, EL_IDXS  # repo-root bench.py
 
-    if metric in ("pointcloud", "pointcloud_exact"):
+    if metric in ("pointcloud", "pointcloud_exact", "pointcloud_f32"):
         from mmwave_radar_processing_tpu.parallel.pipeline import (
             build_point_cloud_pipeline,
         )
 
+        precision = {"pointcloud": "fast", "pointcloud_exact": "exact",
+                     "pointcloud_f32": "f32"}[metric]
         fn = build_point_cloud_pipeline(
             cfg, az_antenna_idxs=AZ_IDXS, el_antenna_idxs=EL_IDXS,
             cfar_params=CFAR_PARAMS, max_dets=128, backend="mxu",
-            aoa_precision=("exact" if metric == "pointcloud_exact"
-                           else "fast"),
+            aoa_precision=precision,
         )
         return fn, False
     if metric == "velocity":
@@ -174,6 +175,15 @@ MIN_POINTS_IOU = 0.75
 #: fraction of frames whose detection count must agree within +/-2
 MIN_COUNT_NEAR = 0.85
 
+#: raised certification gates for the full-precision mode: with the whole
+#: decision chain at f32-equivalent precision (``aoa_precision="f32"``:
+#: Precision.HIGH DFTs + exact hi/lo selection), device and CPU oracle must
+#: agree on essentially every discrete decision — "ok" there means certified,
+#: not merely "not broken" (round-4 VERDICT: the 0.6-IoU gate was too lenient
+#: to be called certification).
+METRIC_POINTS_IOU = {"pointcloud_f32": 0.95}
+METRIC_COUNT_NEAR = {"pointcloud_f32": 0.95}
+
 
 def _point_set_report(o_pts, o_valid, d_pts, d_valid, tol: float) -> dict:
     """Per-frame set-IoU for fixed-capacity ``(points, valid)`` outputs.
@@ -244,11 +254,14 @@ def compare_outputs(oracle: Dict[str, np.ndarray],
                 f"{prefix}/valid" in oracle and d is not None:
             rep = _point_set_report(o, oracle[f"{prefix}/valid"],
                                     d, device[f"{prefix}/valid"], tol=1e-2)
+            gate = METRIC_POINTS_IOU.get(key.split("/", 1)[0],
+                                         MIN_POINTS_IOU)
             entry = {"leaf": key, "shape": list(o.shape),
                      "dtype": str(o.dtype), "comparison": "set_iou",
                      **rep,
                      "agree_frac": rep["set_iou_mean"],
-                     "ok": rep["set_iou_mean"] >= MIN_POINTS_IOU}
+                     "gate": gate,
+                     "ok": rep["set_iou_mean"] >= gate}
             ok_all = ok_all and entry["ok"]
             leaves.append(entry)
             continue
@@ -266,13 +279,16 @@ def compare_outputs(oracle: Dict[str, np.ndarray],
         if key.endswith("/count") and f"{prefix}/points" in oracle \
                 and d is not None:
             near = float(np.mean(np.abs(o.astype(int) - d.astype(int)) <= 2))
+            gate = METRIC_COUNT_NEAR.get(key.split("/", 1)[0],
+                                         MIN_COUNT_NEAR)
             entry = {"leaf": key, "shape": list(o.shape),
                      "dtype": str(o.dtype), "comparison": "count_within_2",
                      "agree_frac": near,
                      "exact_frac": float(np.mean(o == d)),
                      "max_abs_delta": int(np.max(np.abs(
                          o.astype(int) - d.astype(int)))) if o.size else 0,
-                     "ok": near >= MIN_COUNT_NEAR}
+                     "gate": gate,
+                     "ok": near >= gate}
             ok_all = ok_all and entry["ok"]
             leaves.append(entry)
             continue

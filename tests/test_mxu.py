@@ -667,3 +667,110 @@ def test_ground_pipeline_matches_object_api(flagship_config):
             pcg.detector.altimeter.current_altitude_corrected_m,
             atol=5e-3,
         )
+
+
+def test_pointcloud_precision_modes_and_dataflows_agree(flagship_config):
+    """Every (dataflow, aoa_precision) combination produces the same points.
+
+    On CPU there is no bf16 truncation, so "fast", "exact", and the round-5
+    "f32" chain (Precision.HIGH DFTs + exact hi/lo selection) must agree to
+    float tolerance; the alternative ``dataflow="raw"`` formulation
+    (reformat folded into strided static Doppler factors,
+    ``ops/mxu.rd_values_from_raw``) must match the union-cube dataflow too.
+    Pins the contract that the knobs trade SPEED, never results (on exact
+    hardware).
+    """
+    from mmwave_radar_processing_tpu.data import PointTarget, Scene, simulate_frame
+    from mmwave_radar_processing_tpu.parallel.pipeline import (
+        build_point_cloud_pipeline,
+    )
+
+    cfg = flagship_config
+    rng = np.random.default_rng(3)
+    frames = []
+    for i in range(4):
+        scene = Scene(
+            targets=[
+                PointTarget(range_m=1.1 + 0.15 * i, azimuth_rad=0.3,
+                            velocity_m_s=0.5, rcs=3.0),
+                PointTarget(range_m=2.4, azimuth_rad=-0.35,
+                            velocity_m_s=-0.7, rcs=2.5),
+            ],
+            noise_sigma=0.05,
+        )
+        frames.append(simulate_frame(cfg, scene, rng))
+    raw = np.stack(frames)
+    rr = raw.real.astype(np.float32)
+    ri = raw.imag.astype(np.float32)
+
+    kw = dict(az_antenna_idxs=(0, 3, 4, 7), el_antenna_idxs=(9, 8, 5, 4),
+              cfar_params=dict(num_train=(5, 5), num_guard=(3, 2), rho=0.7,
+                               alpha=4.0),
+              max_dets=128, backend="mxu")
+    base = build_point_cloud_pipeline(cfg, dataflow="union",
+                                      aoa_precision="fast", **kw)(rr, ri)
+    assert int(np.asarray(base.count).sum()) > 0
+    for dataflow in ("union", "raw"):
+        for precision in ("fast", "exact", "f32"):
+            if (dataflow, precision) == ("union", "fast"):
+                continue
+            out = build_point_cloud_pipeline(
+                cfg, dataflow=dataflow, aoa_precision=precision, **kw)(rr, ri)
+            np.testing.assert_array_equal(np.asarray(out.count),
+                                          np.asarray(base.count),
+                                          err_msg=f"{dataflow}/{precision}")
+            np.testing.assert_allclose(
+                np.asarray(out.points), np.asarray(base.points),
+                rtol=1e-4, atol=1e-4, err_msg=f"{dataflow}/{precision}")
+
+
+def test_rd_values_from_raw_matches_union_cube(flagship_config, rng):
+    """``rd_values_from_raw`` == one-hot selection on the range-DFT'd cube."""
+    from mmwave_radar_processing_tpu.ops import mxu
+
+    cfg = flagship_config
+    ns, nl = cfg.num_adc_samples, cfg.frame.loops
+    num_rx, cpl = cfg.num_rx_antennas, cfg.chirp_cfgs_per_loop
+    chans = (0, 3, 4, 5, 7, 8, 9)
+    rng_factors, dop_factors = mxu.range_doppler_factors(ns, nl)
+    raw = mxu.C2(
+        rng.standard_normal((num_rx, ns, nl * cpl)).astype(np.float32),
+        rng.standard_normal((num_rx, ns, nl * cpl)).astype(np.float32),
+    )
+    r_idx = np.asarray([5, 20, 33, 60], np.int32)
+    v_idx = np.asarray([0, 10, 35, 69], np.int32)
+
+    R = mxu.range_dft_channels(raw, chans, rng_factors,
+                               num_rx=num_rx, cfgs_per_loop=cpl)
+    want = mxu.rd_values_from_range_dft(R, dop_factors, r_idx, v_idx,
+                                        mode="fast")
+    for mode in ("fast", "exact"):
+        got = mxu.rd_values_from_raw(
+            raw, rng_factors, dop_factors, r_idx, v_idx,
+            channels=chans, num_rx=num_rx, cfgs_per_loop=cpl, mode=mode)
+        np.testing.assert_allclose(np.asarray(got.re), np.asarray(want.re),
+                                   rtol=1e-4, atol=1e-4, err_msg=mode)
+        np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im),
+                                   rtol=1e-4, atol=1e-4, err_msg=mode)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown rd-values mode"):
+        mxu.rd_values_from_raw(raw, rng_factors, dop_factors, r_idx, v_idx,
+                               channels=chans, num_rx=num_rx,
+                               cfgs_per_loop=cpl, mode="typo")
+
+
+def test_doppler_factors_strided_layout():
+    """Strided factors place dop rows at cfg::cpl and zeros elsewhere."""
+    from mmwave_radar_processing_tpu.ops import mxu
+
+    dc, ds = mxu.dft_factors(8, window=np.hanning(8), shift=True)
+    for cfg_idx in (0, 1, 2):
+        oc, os_ = mxu.doppler_factors_strided((dc, ds), cfg_idx, 3)
+        assert isinstance(oc, np.ndarray)  # numpy on purpose (trace-safe)
+        assert oc.shape == (24, 8)
+        np.testing.assert_array_equal(oc[cfg_idx::3], np.asarray(dc))
+        mask = np.ones(24, bool)
+        mask[cfg_idx::3] = False
+        assert np.all(oc[mask] == 0.0) and np.all(os_[mask] == 0.0)

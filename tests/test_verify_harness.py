@@ -83,3 +83,49 @@ def test_plain_leaf_rules():
     d["x/idx"] = np.arange(8)[::-1]
     rep = compare_outputs(o, d)
     assert not rep["ok"]
+
+
+def test_f32_row_held_to_raised_gates():
+    """pointcloud_f32 points/count leaves gate at 0.95, others at defaults.
+
+    Round-5 mandate: "ok" on the certified full-precision row must mean
+    certification (IoU >= 0.95 mean, counts within-2 on >= 95% of frames),
+    not the lenient floor the fast row uses.
+    """
+    import numpy as np
+
+    from mmwave_radar_processing_tpu.utils import verify as v
+
+    pts = np.zeros((4, 8, 4), np.float32)
+    valid = np.zeros((4, 8), bool)
+    valid[:, :3] = True
+    pts[:, :3] = np.arange(12, dtype=np.float32).reshape(1, 3, 4)
+    count = np.full(4, 3, np.int64)
+
+    # an 0.85-class disagreement: one frame's set fully different
+    pts_bad = pts.copy()
+    pts_bad[0, :3] += 5.0
+    oracle = {"pointcloud_f32/points": pts, "pointcloud_f32/valid": valid,
+              "pointcloud_f32/count": count,
+              "pointcloud/points": pts, "pointcloud/valid": valid,
+              "pointcloud/count": count}
+    device = dict(oracle, **{"pointcloud_f32/points": pts_bad,
+                             "pointcloud/points": pts_bad})
+    rep = v.compare_outputs(oracle, device)
+    by_leaf = {l["leaf"]: l for l in rep["leaves"]}
+    # same numerical disagreement: fast row passes its 0.75 gate, the f32
+    # row fails its raised 0.95 gate
+    assert by_leaf["pointcloud/points"]["ok"]
+    assert by_leaf["pointcloud/points"]["gate"] == v.MIN_POINTS_IOU
+    assert not by_leaf["pointcloud_f32/points"]["ok"]
+    assert by_leaf["pointcloud_f32/points"]["gate"] == 0.95
+    assert not rep["ok"]
+
+    # count gate: off-by-3 on one frame of four = 75% within-2 -> both fail;
+    # off-by-1 everywhere -> fast passes, f32 passes (within 2, 100%)
+    device2 = dict(oracle)
+    device2["pointcloud_f32/count"] = count + 1
+    rep2 = v.compare_outputs(oracle, device2)
+    by_leaf2 = {l["leaf"]: l for l in rep2["leaves"]}
+    assert by_leaf2["pointcloud_f32/count"]["ok"]
+    assert by_leaf2["pointcloud_f32/count"]["gate"] == 0.95
