@@ -99,16 +99,27 @@ def ransac_linear(
     k_sample = min(min_samples, n)
 
     def one_trial(trial_key):
-        # Sample ``min_samples`` distinct valid rows via the Gumbel-top-k trick.
+        # Sample ``min_samples`` distinct valid rows via the Gumbel-top-k
+        # trick, materialized as a THRESHOLD mask: ``score >= k-th largest``
+        # selects exactly the top-k rows without the index scatter
+        # (``.at[idx].set`` lowered to a serializing per-trial scatter —
+        # round-5 stage bisection put ~5.3 ms of the 19 ms velocity dispatch
+        # in the two RANSAC fits, mostly here).  Gumbel ties have measure
+        # zero in f32; distinctness matches sklearn's sampling contract.
         g = jax.random.gumbel(trial_key, (n,))
         scores = jnp.where(valid, g, -jnp.inf)
-        _, idx = jax.lax.top_k(scores, k_sample)
-        w = jnp.zeros((n,), jnp.float32).at[idx].set(1.0) * validf
+        # approx_max_k(recall_target=1.0) is exact and lowers to the TPU
+        # partial-reduce instead of a full sort (same trick as
+        # ops/masked.mask_to_indices)
+        kth = jax.lax.approx_max_k(
+            scores, k_sample, recall_target=1.0, aggregate_to_topk=True
+        )[0][k_sample - 1]
+        w = ((scores >= kth) & valid).astype(jnp.float32)
         coef = _masked_lstsq(h, y, w)
-        resid = jnp.abs(y - h @ coef)
-        inliers = (resid <= residual_threshold) & valid
+        pred = h @ coef
+        inliers = (jnp.abs(y - pred) <= residual_threshold) & valid
         n_in = jnp.sum(inliers)
-        score = _masked_r2(y, h @ coef, inliers.astype(jnp.float32))
+        score = _masked_r2(y, pred, inliers.astype(jnp.float32))
         return coef, inliers, n_in, score
 
     keys = jax.random.split(key, max_trials)
@@ -117,7 +128,10 @@ def ransac_linear(
     # sklearn winner: max n_inliers, ties by score (later equal trials win).
     order = n_ins.astype(jnp.float32) * 1e6 + scores + jnp.arange(max_trials) * 1e-9
     best = jnp.argmax(order)
-    best_inliers = inlier_masks[best]
+    # one-hot contraction instead of a row gather (gathers serialize on TPU)
+    best_inliers = jnp.sum(
+        inlier_masks & (jnp.arange(max_trials) == best)[:, None], axis=0
+    ) > 0
     best_w = best_inliers.astype(jnp.float32)
 
     # Refit on the winning inlier set (sklearn: final estimator.fit on inliers).

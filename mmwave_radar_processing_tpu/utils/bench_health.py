@@ -223,12 +223,20 @@ def assess(frames_per_s: float,
     if floor:
         v.floor_ms = floor
         v.floor_ratio = measured_ms / floor
-        if v.floor_ratio > FLOOR_RATIO_LIMIT:
+        # The floor models matmul+bandwidth work only; VPU-bound pipelines
+        # (velocity: CFAR-free but peak/RANSAC heavy) legitimately sit >10x
+        # above it.  It is therefore only a *fallback* criterion for metrics
+        # with no known-good record — a run already judged against its own
+        # record (the sharper signal) is never floor-flagged (a healthy
+        # velocity run that BEAT its record tripped this before the guard).
+        if v.expected_frames_per_s is None and \
+                v.floor_ratio > FLOOR_RATIO_LIMIT:
             v.healthy = False
             v.reasons.append(
                 f"measured {measured_ms:.2f} ms/dispatch is "
                 f"{v.floor_ratio:.1f}x the calibrated "
-                f"{floor:.2f} ms perfectly-overlapped floor")
+                f"{floor:.2f} ms perfectly-overlapped floor (no known-good "
+                "record to compare against)")
     return v
 
 

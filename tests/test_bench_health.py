@@ -49,11 +49,27 @@ class TestAssess:
         v = _assess(11_081.0, probe_ms=7.0,
                     expected_frames_per_s=179_161.0)
         assert not v.healthy
-        # every signal should trip: probe 16x, expected 16x, floor ~60x
-        assert len(v.reasons) == 3
+        # probe 16x and expected 16x both trip; the floor ratio is recorded
+        # but only *gates* when no known-good record exists (VPU-bound
+        # pipelines legitimately sit >10x above the matmul/bandwidth floor)
+        assert len(v.reasons) == 2
         assert v.probe_ratio == pytest.approx(7.0 / 0.435, rel=1e-6)
         assert v.expected_ratio == pytest.approx(179_161 / 11_081, rel=1e-6)
         assert v.floor_ratio > bh.FLOOR_RATIO_LIMIT
+
+    def test_floor_gates_only_without_a_record(self):
+        # no expected record (unrecorded metric): a 60x-off-floor capture is
+        # still caught by the fallback floor criterion
+        v = bh.assess(11_081.0, batch=1024, metric="no_such_metric",
+                      peaks=PEAKS, flops_per_dispatch=FLOPS_PD,
+                      input_bytes_per_dispatch=INPUT_BYTES_PD,
+                      expected_frames_per_s=None)
+        assert not v.healthy and any("floor" in r for r in v.reasons)
+        # with a record, a healthy VPU-bound run 12x above floor that BEAT
+        # its record must NOT be flagged (velocity false-positive regression)
+        v2 = _assess(65_936.0, probe_ms=0.54,
+                     expected_frames_per_s=53_830.0)
+        assert v2.healthy and v2.floor_ratio > bh.FLOOR_RATIO_LIMIT
 
     def test_probe_alone_flags_degraded_runtime(self):
         v = _assess(176_000.0, probe_ms=2.0, expected_frames_per_s=None)
