@@ -56,8 +56,28 @@ class VelocityEstimator(DopplerAzimuthProcessor):
         min_R2_threshold: float = 0.6,
         min_inlier_percent: float = 0.75,
         seed: int = 42,
+        vy_mode: str = "adc",
         **kwargs,
     ):
+        """``vy_mode`` (beyond the reference):
+
+        - ``"adc"`` (default): bit-compatible reference behavior — vy from
+          the RANSAC row-peak fit of the Doppler-azimuth response
+          (reference ``velocity_estimator.py:663-692``).  On standard
+          outward geometry this fit is a weak vy estimator: RMSE ~1.58 m/s
+          on the 16-recording suite, for BOTH implementations (the row
+          peaks constrain mostly the radial component).
+        - ``"hybrid_points"`` (standard geometry): keep the deterministic
+          ADC zero-azimuth vx readout, but fit vy from the point cloud with
+          vx held fixed — a 1D RANSAC on
+          ``-vel - u_x*vx = u_y*vy`` (u = normalized 2D direction), the
+          same robustness envelope (threshold 0.15, 20 trials, 10 samples).
+          ``process`` then needs BOTH ``adc_cube`` and ``points``.
+          Measured on the 16-recording suite: vy RMSE 1.58 -> <0.1 m/s
+          (tests/test_accuracy_adc.py hybrid leg).  Documented divergence:
+          no reference counterpart — its ADC and points paths never share a
+          frame.
+        """
         super().__init__(
             config, num_angle_bins=64, valid_angle_range=np.asarray(valid_angle_range)
         )
@@ -68,6 +88,12 @@ class VelocityEstimator(DopplerAzimuthProcessor):
         self.x_measurement_only = x_measurement_only
         self.min_R2_threshold = min_R2_threshold
         self.min_inlier_percent = min_inlier_percent
+        if vy_mode not in ("adc", "hybrid_points"):
+            raise ValueError(f"unknown vy_mode {vy_mode!r}")
+        if vy_mode == "hybrid_points" and config.array_geometry != "standard":
+            raise ValueError("vy_mode='hybrid_points' is standard-geometry "
+                             "only (the ODS path estimates vy per sub-array)")
+        self.vy_mode = vy_mode
         self._key = jax.random.PRNGKey(seed)
 
         # latest responses / peaks (reference-compatible attribute surface)
@@ -297,6 +323,27 @@ class VelocityEstimator(DopplerAzimuthProcessor):
         )
         return np.asarray(res.coef), float(res.r2), float(res.inlier_fraction)
 
+    def lsq_fit_ego_vy_ransac_points_fixed_vx(self, points: np.ndarray,
+                                              vx: float):
+        """Hybrid vy: 1D points RANSAC with the ADC vx held fixed.
+
+        Model: ``vel = -(u . v)`` with ``u = p_2d/|p_2d|`` gives
+        ``-vel - u_x*vx = u_y*vy`` — one robust parameter, the reference's
+        RANSAC envelope (threshold 0.15, 20 trials, 10 samples).  See
+        ``vy_mode`` in the constructor docstring.
+        """
+        if points.shape[0] == 0:
+            return 0.0, 0.0, 0.0
+        u = points[:, 0:2] / np.linalg.norm(points[:, 0:2], axis=1,
+                                            keepdims=True)
+        y = -points[:, 3] - u[:, 0] * vx
+        h = u[:, 1:2]
+        res = ransac_linear(
+            h, y, np.ones(len(y), bool), self._next_key(),
+            min_samples=10, residual_threshold=0.15, max_trials=20,
+        )
+        return float(res.coef[0]), float(res.r2), float(res.inlier_fraction)
+
     def lsq_predict_velocity_measurement(self, v, angles_to_predict=None):
         """Predicted vd per angle for an ego velocity [vx, vy] (ref :536-554)."""
         if angles_to_predict is None or np.size(angles_to_predict) == 0:
@@ -445,6 +492,18 @@ class VelocityEstimator(DopplerAzimuthProcessor):
             if not self.x_measurement_only:
                 self.detect_vel_row_peaks(use_precise_response=enable_precise_responses)
             self.estimate_ego_velocity_adc_data()
+            if (self.vy_mode == "hybrid_points" and points is not None
+                    and np.size(points) > 0 and not self.x_measurement_only):
+                # hybrid leg: override the weak row-peak vy with the
+                # vx-constrained points fit; the standard-geometry gate then
+                # R^2-gates vy and keeps the deterministic vx unchanged
+                (self.azimuth_ego_vy_estimate,
+                 self.azimuth_estimate_R2,
+                 self.azimuth_inlier_percent) = (
+                    self.lsq_fit_ego_vy_ransac_points_fixed_vx(
+                        np.asarray(points), float(self.ego_vx_estimate)))
+                self.proposed_velocity_estimate = np.array(
+                    [self.ego_vx_estimate, self.azimuth_ego_vy_estimate, 0.0])
         elif points is not None and np.size(points) > 0:
             self._points_path = True
             self.estimate_ego_velocity_points(np.asarray(points))

@@ -265,3 +265,60 @@ def test_standard_geometry_points_accuracy_tracks_reference(std_recordings):
                 f"{axis}/{stat}: ours {a:.3f} vs reference {b:.3f}")
     assert float(rep_ours.loc["Norm", "RMSE"]) <= 0.25
     assert float(rep_ref.loc["Norm", "RMSE"]) <= 0.25
+
+
+def test_standard_geometry_hybrid_beats_both(std_recordings):
+    """Hybrid mode: ADC vx + vx-constrained points vy beats both references.
+
+    Round-5 mandate: the standard-geometry ADC vy leg is only as good as the
+    reference's weak row-peak fit (RMSE ~1.58 m/s on BOTH implementations);
+    the points path achieves ~0.003 on the same scenes.  The documented
+    ``vy_mode="hybrid_points"`` fuses the deterministic ADC zero-azimuth vx
+    with a vx-constrained 1D points RANSAC for vy — same 16-recording suite,
+    vy RMSE must land at least 5x under the mandated 0.3 m/s bar while vx
+    stays bit-compatible with the parity mode.
+    """
+    from mmwave_radar_processing_tpu.processors.velocity_estimator import (
+        VelocityEstimator,
+    )
+
+    cfg, cfg_path, raw, pt_clouds, gt = std_recordings
+    n = raw.shape[0]
+    var = VirtualArrayReformatter(cfg)
+    virt = [np.asarray(var.process(raw[i])) for i in range(n)]
+
+    kwargs = dict(lower_range_bound=0.5, upper_range_bound=0.5,
+                  min_R2_threshold=0.2, min_inlier_percent=0.3)
+    hybrid_est = VelocityEstimator(cfg, vy_mode="hybrid_points", **kwargs)
+    hybrid = np.stack([
+        np.asarray(hybrid_est.process(adc_cube=virt[i], points=pt_clouds[i],
+                                      altitude=0.0)).copy()
+        for i in range(n)
+    ])
+    parity_est = VelocityEstimator(cfg, **kwargs)
+    parity = np.stack([
+        np.asarray(parity_est.process(adc_cube=virt[i], altitude=0.0)).copy()
+        for i in range(n)
+    ])
+
+    # vx: identical to the parity mode per frame (deterministic readout)
+    np.testing.assert_allclose(hybrid[:, 0], parity[:, 0], atol=1e-6)
+
+    rep_h = _summary(hybrid, gt)
+    rep_p = _summary(parity, gt)
+    print("\n== standard hybrid (ADC vx + points vy) ==\n", rep_h)
+    print("== standard parity ADC mode ==\n", rep_p)
+    vy_rmse_h = float(rep_h.loc["Y", "RMSE"])
+    vy_rmse_p = float(rep_p.loc["Y", "RMSE"])
+    # the mandated bar is <= 0.3; demand a decisive margin
+    assert vy_rmse_h <= 0.06, vy_rmse_h
+    # and it genuinely beats the parity/reference row-peak fit on this suite
+    assert vy_rmse_h < 0.25 * vy_rmse_p, (vy_rmse_h, vy_rmse_p)
+    assert float(rep_h.loc["Norm", "RMSE"]) <= \
+        float(rep_p.loc["Norm", "RMSE"])
+
+    # misconfiguration guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown vy_mode"):
+        VelocityEstimator(cfg, vy_mode="typo", **kwargs)
