@@ -44,9 +44,19 @@ def process_local_frame_slice(mesh: Mesh, n_global: int, axis: str = "data"
     if n_global % n_dev:
         raise ValueError(f"global batch {n_global} not divisible by {n_dev}")
     per_dev = n_global // n_dev
-    axis_devices = mesh.devices.reshape(-1)
+    # ownership is along the SHARDING axis only: on a multi-axis mesh (e.g.
+    # (data, model)) every device at data-row i holds frame shard i, so a
+    # process owns the data-rows its local devices touch — flattening the
+    # whole device grid (the old behavior) over-counted rows by the size of
+    # the other axes and produced out-of-range slices on 2D meshes (caught
+    # by the n=16/32 dryrun test)
+    ax = mesh.axis_names.index(axis)
     local_ids = {d.id for d in jax.local_devices()}
-    owned = [i for i, d in enumerate(axis_devices) if d.id in local_ids]
+    owned = sorted({
+        idx[ax]
+        for idx, d in np.ndenumerate(mesh.devices)
+        if d.id in local_ids
+    })
     if not owned:
         return slice(0, 0)
     if owned != list(range(owned[0], owned[-1] + 1)):

@@ -171,6 +171,35 @@ def test_graft_entry_contract():
     ge.dryrun_multichip(4)
 
 
+def test_dryrun_multichip_at_16_and_32_devices():
+    """The full sharded dryrun compiles+executes at pod-slice device counts.
+
+    The in-process test mesh is 8 virtual devices; n=16/32 (the first real
+    pod-slice sizes the ICI projection predicts for) run in a subprocess
+    with a larger virtual-device count.  Guards the round-5 mandate that the
+    first hardware run at those sizes is a one-command falsification, not a
+    first-ever compile.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=32")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as ge; ge.dryrun_multichip(16); "
+         "ge.dryrun_multichip(32); print('dryrun16/32 ok')"],
+        env=env, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "dryrun16/32 ok" in proc.stdout
+
+
 def test_pipeline_sharded_mxu(flagship_config, mesh):
     """MXU (split-complex) pipeline under data sharding matches unsharded."""
     scenes = [
