@@ -291,3 +291,93 @@ def build_ground_detector_stage(
         return masked.mask_to_indices_2d(gate[:, None] & vel_det, max_dets)
 
     return jax.jit(jax.vmap(single))
+
+
+def build_dbs_viewer_stage(
+    cfg: RadarConfig,
+    *,
+    num_angle_bins_range_angle_response: int = 64,
+    num_angle_bins_dbs_enhanced_response: int = 64,
+    min_x_y_vel_dbs: float = 0.25,
+    rx_antennas: Optional[Sequence[int]] = None,
+):
+    """Batched split-complex DBS-enhanced range-angle stage for the viewer.
+
+    Device formulation of ``processors/dbs.RangeAngleProcessorDBSEnhanced``
+    (reference ``range_angle_resp_dbs_enhanced.py``): per frame BOTH branches
+    are computed — the plain chirp-0 range-angle heatmap (full-antenna window
+    then subset selection, reference :117-121 via :104-120) and the
+    DBS-sharpened map (3D windowed DFT over the SELECTED antennas, then
+    ``resp[nearest coarse angle, :, nearest Doppler bin]`` per output angle,
+    reference :137-263) — plus the per-frame speed gate
+    ``|v_xy| >= min_x_y_vel_dbs`` (:308-342), so the cache can serve the
+    branch the per-frame path would have taken.  All transforms are DFT
+    matmuls (no complex dtypes); the per-output-angle Doppler selection is a
+    one-hot diagonal reduction with traced velocity, and the static
+    coarse-angle gather bakes into a reindex of the angle DFT factors.
+
+    Returns jitted ``(raw_re, raw_im [B, rx, ns, nt], velocity_ned [B, 3])
+    -> (ra_map [B, ns, A_ra], dbs_map [B, ns, A_dbs], use_dbs [B])``.
+    """
+    ns, loops = cfg.num_adc_samples, cfg.frame.loops
+    num_rx, cpl = cfg.num_rx_antennas, cfg.chirp_cfgs_per_loop
+    n_virtual = cpl * num_rx
+    a_ra = num_angle_bins_range_angle_response
+    a_dbs = num_angle_bins_dbs_enhanced_response
+    sel = (np.arange(n_virtual) if rx_antennas is None
+           else np.asarray(rx_antennas, int))
+
+    rng_factors = mxu.dft_factors(ns, window=np.hanning(ns))
+    dop_factors = mxu.dft_factors(loops, window=np.hanning(loops), shift=True)
+
+    # plain RA branch: full-antenna Hann then subset (reference quirk)
+    ra_chan_w = jnp.asarray(np.hanning(n_virtual)[sel], jnp.float32)
+    ra_angle_factors = mxu.dft_factors(len(sel), a_ra, shift=True)
+
+    # DBS branch: Hann over the SELECTED antennas folded into the angle DFT
+    dbs_angle_factors = mxu.dft_factors(
+        len(sel), a_ra, shift=True, window=np.hanning(len(sel)))
+    coarse_bins = grids.angle_bins(a_ra)
+    dbs_bins = np.linspace(coarse_bins[0], coarse_bins[-1], a_dbs)
+    # nearest coarse angle per output angle is STATIC: reindex the angle
+    # factor columns instead of gathering the spectrum (reference :216-263)
+    ang_idx = np.argmin(
+        np.abs(coarse_bins[None, :] - dbs_bins[:, None]), axis=1)
+    dbs_fac_sel = (jnp.asarray(np.asarray(dbs_angle_factors[0])[:, ang_idx]),
+                   jnp.asarray(np.asarray(dbs_angle_factors[1])[:, ang_idx]))
+    vel_bins = jnp.asarray(grids.vel_bins(cfg))
+    dbs_dirs = jnp.asarray(
+        np.stack([np.cos(dbs_bins), np.sin(dbs_bins)], axis=1), jnp.float32)
+    chans = tuple(int(v) for v in sel)
+
+    def single(raw_re, raw_im, vel_ned):
+        R = mxu.range_dft_channels(
+            mxu.C2(raw_re, raw_im), chans, rng_factors,
+            num_rx=num_rx, cfgs_per_loop=cpl)  # (A_sel, ns, loops)
+
+        # plain RA off chirp 0
+        slice0 = mxu.C2(R.re[:, :, 0] * ra_chan_w[:, None],
+                        R.im[:, :, 0] * ra_chan_w[:, None])
+        ra = mxu.dft_apply(mxu.C2(slice0.re.T, slice0.im.T),
+                           ra_angle_factors, axis=-1)
+        ra_map = mxu.cabs(ra)
+
+        # DBS: Doppler DFT then the reindexed angle DFT -> [A_dbs, ns, loops]
+        rd = mxu.dft_apply(R, dop_factors, axis=-1)
+        sp_re = (jnp.einsum("awv,am->mwv", rd.re, dbs_fac_sel[0])
+                 + jnp.einsum("awv,am->mwv", rd.im, dbs_fac_sel[1]))
+        sp_im = (jnp.einsum("awv,am->mwv", rd.im, dbs_fac_sel[0])
+                 - jnp.einsum("awv,am->mwv", rd.re, dbs_fac_sel[1]))
+        mag3d = jnp.sqrt(sp_re * sp_re + sp_im * sp_im)
+
+        dop_vel = -(dbs_dirs @ vel_ned[:2])  # [A_dbs]
+        vel_idx = jnp.argmin(
+            jnp.abs(vel_bins[None, :] - dop_vel[:, None]), axis=1)
+        ohv = (vel_idx[None, :] == jnp.arange(loops)[:, None]).astype(
+            jnp.float32)  # [loops, A_dbs]
+        dbs_map = jnp.einsum("mwv,vm->wm", mag3d, ohv)
+
+        use_dbs = jnp.linalg.norm(vel_ned[:2]) >= min_x_y_vel_dbs
+        return ra_map, dbs_map, use_dbs
+
+    return jax.jit(jax.vmap(single))

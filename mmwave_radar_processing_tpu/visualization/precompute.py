@@ -46,6 +46,7 @@ COVERED = frozenset({
     "altimeter",
     "capon_beamformer",
     "bartlett_beamformer",
+    "range_angle_resp_dbs_enhanced",
 })
 
 #: viewer-pipeline output group needed per key (None = separate pipeline)
@@ -86,6 +87,10 @@ _SUPPORTED_PARAMS = {
                          "diagonal_loading"},
     "bartlett_beamformer": {"antenna_idxs", "num_angle_bins",
                             "diagonal_loading"},
+    "range_angle_resp_dbs_enhanced": {
+        "num_angle_bins_range_angle_response",
+        "num_angle_bins_dbs_enhanced_response", "min_x_y_vel_dbs",
+        "rx_antennas"},
 }
 
 
@@ -153,6 +158,13 @@ class PrecomputedPlayback:
         from mmwave_radar_processing_tpu.parallel.viewer_pipeline import (
             build_viewer_payload_pipeline,
         )
+        from mmwave_radar_processing_tpu.utils.platform import (
+            enable_persistent_compile_cache,
+        )
+
+        # remote compiles are tens of seconds per program through the
+        # tunnel; the persistent cache makes repeat builds start in seconds
+        enable_persistent_compile_cache()
 
         t0 = time.perf_counter()
         ds = self.controller.dataset_model
@@ -245,15 +257,43 @@ class PrecomputedPlayback:
             {_INCLUDE_GROUP[k] for k in self._keys if k in _INCLUDE_GROUP})
 
         fn = build_viewer_payload_pipeline(self.cfg, **kw)
-        chunks = []
-        for lo in range(0, n, self.batch_size):
-            out = fn(raw_re[lo:lo + self.batch_size],
-                     raw_im[lo:lo + self.batch_size])
-            chunks.append({k: np.asarray(v) for k, v in out.items()})
-        self._arrays = {
-            k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]
-        }
 
+        # Host-fetch batching: every ``np.asarray`` of a device output is a
+        # full tunnel round trip (~40 ms on the remote axon runtime), and the
+        # naive per-leaf fetch made the cache build host-fetch-bound
+        # (108 ms/frame, round-4 BENCH_SELF).  Instead (a) each chunk's ~25
+        # output leaves are packed into ONE flat f32 device array inside the
+        # jitted program (ints/bools round-trip exactly through f32 — all
+        # values are bin indices/counts/flags < 2^24), and (b) every chunk of
+        # every pipeline is DISPATCHED before anything is fetched, so the
+        # FIFO queue overlaps device compute with the fetches.
+        leaf_spec = None
+
+        def packed_pipeline(a, b):
+            out = fn(a, b)
+            parts = [
+                out[k].reshape(out[k].shape[0], -1).astype(jnp.float32)
+                for k in sorted(out)
+            ]
+            return jnp.concatenate(parts, axis=1)
+
+        import jax.numpy as jnp
+
+        shapes = jax.eval_shape(fn, raw_re[: min(self.batch_size, n)],
+                                raw_im[: min(self.batch_size, n)])
+        leaf_spec = [
+            (k, tuple(shapes[k].shape[1:]), shapes[k].dtype,
+             int(np.prod(shapes[k].shape[1:], dtype=np.int64)) or 1)
+            for k in sorted(shapes)
+        ]
+        packed_jit = jax.jit(packed_pipeline)
+        dev_chunks = [
+            packed_jit(raw_re[lo:lo + self.batch_size],
+                       raw_im[lo:lo + self.batch_size])
+            for lo in range(0, n, self.batch_size)
+        ]
+
+        dev_beam = {}
         for bkey, method in (("capon_beamformer", "capon"),
                              ("bartlett_beamformer", "bartlett")):
             if bkey not in self._keys:
@@ -274,11 +314,80 @@ class PrecomputedPlayback:
                 num_angle_bins=int(bp.get("num_angle_bins", 64)),
                 method=method,
                 loading=float(bp.get("diagonal_loading", 1e-2)))
-            maps = []
-            for lo in range(0, n, self.batch_size):
-                maps.append(np.asarray(bfn(raw_re[lo:lo + self.batch_size],
-                                           raw_im[lo:lo + self.batch_size])))
-            self._arrays[bkey] = np.concatenate(maps)
+            dev_beam[bkey] = [
+                bfn(raw_re[lo:lo + self.batch_size],
+                    raw_im[lo:lo + self.batch_size])
+                for lo in range(0, n, self.batch_size)
+            ]
+
+        # DBS-enhanced range-angle: needs per-frame platform velocity; if the
+        # dataset carries no odometry the key falls back to the per-frame
+        # path (which needs the same velocity and degrades identically)
+        dev_dbs = []
+        self._dbs_meta = None
+        if "range_angle_resp_dbs_enhanced" in self._keys:
+            vels = None
+            try:
+                vels = np.stack([
+                    np.asarray(ds.get_velocity_ned(i), np.float32)
+                    for i in range(n)
+                ])
+            except Exception:
+                self._keys.discard("range_angle_resp_dbs_enhanced")
+            if vels is not None:
+                from mmwave_radar_processing_tpu.config import grids
+                from mmwave_radar_processing_tpu.parallel.viewer_pipeline import (
+                    build_dbs_viewer_stage,
+                )
+
+                dp = self._params["range_angle_resp_dbs_enhanced"]
+                a_ra = int(dp.get("num_angle_bins_range_angle_response", 64))
+                a_dbs = int(dp.get(
+                    "num_angle_bins_dbs_enhanced_response", 64))
+                dbs_fn = build_dbs_viewer_stage(
+                    self.cfg,
+                    num_angle_bins_range_angle_response=a_ra,
+                    num_angle_bins_dbs_enhanced_response=a_dbs,
+                    min_x_y_vel_dbs=float(dp.get("min_x_y_vel_dbs", 0.25)),
+                    rx_antennas=(tuple(dp["rx_antennas"])
+                                 if dp.get("rx_antennas") else None),
+                )
+                dev_dbs = [
+                    dbs_fn(raw_re[lo:lo + self.batch_size],
+                           raw_im[lo:lo + self.batch_size],
+                           vels[lo:lo + self.batch_size])
+                    for lo in range(0, n, self.batch_size)
+                ]
+                # both branches' angle grids + meshes, picked per frame
+                rb = grids.range_bins(self.cfg, variant="offset")
+                coarse = grids.angle_bins(a_ra)
+                fine = np.linspace(coarse[0], coarse[-1], a_dbs)
+                self._dbs_meta = {
+                    False: (coarse,) + grids.polar_mesh(rb, coarse)[2:],
+                    True: (fine,) + grids.polar_mesh(rb, fine)[2:],
+                }
+
+        # fetch phase: one round trip per chunk, then unpack on the host
+        parts = {k: [] for k, _, _, _ in leaf_spec}
+        for dev in dev_chunks:
+            flat = np.asarray(dev)
+            col = 0
+            for k, shape, dtype, width in leaf_spec:
+                seg = flat[:, col:col + width]
+                col += width
+                parts[k].append(
+                    seg.reshape((seg.shape[0],) + shape).astype(dtype))
+        self._arrays = {k: np.concatenate(v) for k, v in parts.items()}
+        for bkey, devs in dev_beam.items():
+            self._arrays[bkey] = np.concatenate(
+                [np.asarray(d) for d in devs])
+        if dev_dbs:
+            self._arrays["dbs_ra"] = np.concatenate(
+                [np.asarray(d[0]) for d in dev_dbs])
+            self._arrays["dbs_map"] = np.concatenate(
+                [np.asarray(d[1]) for d in dev_dbs])
+            self._arrays["dbs_use"] = np.concatenate(
+                [np.asarray(d[2]) for d in dev_dbs])
 
         if "range_doppler_ground_detector" in self._keys:
             from mmwave_radar_processing_tpu.parallel.ground_pipeline import (
@@ -401,4 +510,14 @@ class PrecomputedPlayback:
             dets = np.stack([a["detg_r"][idx][valid],
                              a["detg_v"][idx][valid]], axis=1).astype(int)
             return {"data": dets, "rng_dop_resp": a["rd_map"][idx]}
+        if key == "range_angle_resp_dbs_enhanced":
+            # branch-dependent payload: the speed gate picks which map the
+            # per-frame processor would have produced, and the matching bin
+            # grid + cartesian mesh ride along (the live processor's attrs
+            # reflect only the LAST frame processed — the cache must carry
+            # them per frame)
+            use = bool(a["dbs_use"][idx])
+            bins, x_s, y_s = self._dbs_meta[use]
+            return {"data": a["dbs_map" if use else "dbs_ra"][idx],
+                    "angle_bins": bins, "x_s": x_s, "y_s": y_s}
         return None

@@ -129,6 +129,10 @@ def measure_pyqtgraph(ctl, n_frames: int) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--build-frames", type=int, default=8,
+                    help="recording length for the controller/dataset; the "
+                         "precompute build cost is per-frame amortized, so "
+                         "measure it at a realistic length (e.g. 64)")
     ap.add_argument("--backend", choices=["matplotlib", "pyqtgraph"],
                     default="matplotlib")
     ap.add_argument("--precompute", action="store_true",
@@ -150,7 +154,7 @@ def main():
     fps_proc = None
     build_s = covered = None
     with tempfile.TemporaryDirectory() as td:
-        ctl, _ = build_controller(td, n_frames=8)
+        ctl, _ = build_controller(td, n_frames=args.build_frames)
         if args.only_selected:
             for key in list(ctl.processors):
                 if key not in KEYS:

@@ -398,3 +398,84 @@ def test_cache_miss_degrades_to_per_frame_recompute(sim_dataset, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
     # the other covered keys still served from the cache
     assert set(payloads) == set(ref_payloads)
+
+
+def test_precomputed_dbs_parity_both_branches(tmp_path, flagship_config):
+    """DBS-enhanced range-angle cache == per-frame path on BOTH gate branches.
+
+    Round-5 coverage mandate: the 12th registry key.  A recording with
+    alternating slow/fast odometry exercises the plain range-angle fallback
+    and the DBS-sharpened branch; the cached payload must match the
+    per-frame processor's data AND carry the branch-matching bin grid/mesh
+    (the live processor mutates its own attrs per frame).
+    """
+    rng = np.random.default_rng(4)
+    frames, odom = [], []
+    vels = [np.array([0.1, 0.0, 0.0]), np.array([0.5, 0.2, 0.0]),
+            np.array([0.05, 0.05, 0.0]), np.array([0.8, -0.3, 0.0])]
+    for v in vels:
+        scene = Scene(
+            targets=[PointTarget(range_m=1.2, azimuth_rad=0.25,
+                                 velocity_m_s=0.4, rcs=3.0),
+                     PointTarget(range_m=2.2, azimuth_rad=-0.3,
+                                 velocity_m_s=-0.5, rcs=2.5)],
+            noise_sigma=0.04,
+        )
+        frames.append(simulate_frame(flagship_config, scene, rng))
+        odom.append(make_odom_rows(v))
+    root = tmp_path / "dbsrec"
+    write_dataset(str(root), np.stack(frames), odom=np.stack(odom))
+
+    ds_params = {
+        "dataset": {"dataset_path": str(root),
+                    "radar_adc_folder": "radar_0_adc",
+                    "vehicle_odom_folder": "vehicle_odom"},
+        "config": {"name": os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", "configs",
+                         "6843_RadVel_ods_20Hz.cfg")),
+            "array_geometry": "ods", "array_direction": "down"},
+    }
+    proc_params = {"processors": {
+        "range_angle_resp_dbs_enhanced": {
+            "num_angle_bins_range_angle_response": 64,
+            "num_angle_bins_dbs_enhanced_response": 100,
+            "min_x_y_vel_dbs": 0.25,
+            "rx_antennas": [0, 3, 4, 7],
+        },
+    }}
+    dsp = tmp_path / "ds.yaml"
+    ppp = tmp_path / "pp.yaml"
+    dsp.write_text(yaml.safe_dump(ds_params))
+    ppp.write_text(yaml.safe_dump(proc_params))
+
+    def make(enable_cache):
+        registry = get_default_registry()
+        for k in registry:
+            registry[k].enabled = k == "range_angle_resp_dbs_enhanced"
+        ctl = MmWaveRadarProcessorController(
+            registry=registry, dataset_params_path=str(dsp),
+            processor_params_path=str(ppp))
+        if enable_cache:
+            covered = ctl.enable_precomputed_playback()
+            assert "range_angle_resp_dbs_enhanced" in covered
+        store = {}
+        ctl.subscribe_view_update(
+            lambda k, p, s=store: s.setdefault(k, []).append(p))
+        ctl.play()
+        return store["range_angle_resp_dbs_enhanced"]
+
+    ref, pre = make(False), make(True)
+    assert len(ref) == len(pre) == len(vels)
+    for i, v in enumerate(vels):
+        want, got = np.asarray(ref[i]["data"]), np.asarray(pre[i]["data"])
+        expect_dbs = np.linalg.norm(v[:2]) >= 0.25
+        assert want.shape == got.shape == (63, 100 if expect_dbs else 64), i
+        scale = max(float(np.max(np.abs(want))), 1.0)
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4 * scale,
+                                   err_msg=f"frame {i}")
+        # branch-matching bins and mesh ride in the cached payload
+        np.testing.assert_allclose(np.asarray(pre[i]["angle_bins"]),
+                                   np.asarray(ref[i]["angle_bins"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(pre[i]["x_s"]),
+                                   np.asarray(ref[i]["x_s"]), rtol=1e-5)
