@@ -1,0 +1,155 @@
+"""Ground-truth angle accuracy: is the fast mode's bf16 AoA actually worse?
+
+The on-chip verify shows ``aoa_precision="fast"`` flipping ~10% of AoA
+argmax picks vs the CPU f32 oracle (set-IoU 0.79), while the certified
+``"f32"`` chain agrees at 0.95+.  Device-vs-oracle DISAGREEMENT is not the
+same as INACCURACY: if the flips happen only where the angle spectrum does
+not physically distinguish adjacent bins at the scene's SNR, both modes are
+equally accurate against the truth.  This script measures that claim:
+
+1. Simulate frames with ONE strong planted target per frame at a known
+   (azimuth, elevation) drawn across the field of view.
+2. Run the fused point-cloud pipeline on the DEVICE in fast / exact / f32
+   modes (and the CPU oracle in a subprocess).
+3. For the detection nearest the planted (range, velocity) cell, compare the
+   azimuth estimate against the planted truth.
+
+Writes ``ANGLE_ACCURACY.json`` with per-mode angle-error statistics.  The
+defense holds iff fast-mode RMSE-vs-truth matches f32/CPU within the angle
+grid's quantization step (~2.9 deg at 64 bins).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _HERE)
+
+N_FRAMES = 256
+SEED = 99
+
+
+def make_truth_frames():
+    from bench import _flagship_config
+    from mmwave_radar_processing_tpu.data import (
+        PointTarget, Scene, simulate_frame,
+    )
+
+    cfg = _flagship_config()
+    rng = np.random.default_rng(SEED)
+    raws, truths = [], []
+    for _ in range(N_FRAMES):
+        az = float(rng.uniform(-0.9, 0.9))
+        el = float(rng.uniform(-0.45, 0.45))
+        r = float(rng.uniform(0.35, 0.85) * cfg.range_max_m)
+        v = float(rng.uniform(-0.6, 0.6) * cfg.vel_max_m_s)
+        scene = Scene(
+            targets=[PointTarget(range_m=r, azimuth_rad=az,
+                                 elevation_rad=el, velocity_m_s=v, rcs=6.0)],
+            noise_sigma=0.05,
+        )
+        raws.append(simulate_frame(cfg, scene, rng))
+        truths.append((r, v, az, el))
+    raw = np.stack(raws)
+    return (cfg, np.ascontiguousarray(raw.real, np.float32),
+            np.ascontiguousarray(raw.imag, np.float32),
+            np.asarray(truths, np.float32))
+
+
+def angle_errors(points, valid, truths):
+    """Azimuth error of the detection nearest each planted (range, vel)."""
+    errs = []
+    for f in range(points.shape[0]):
+        pts = points[f][valid[f].astype(bool)]
+        if not len(pts):
+            continue
+        r_t, v_t, az_t, _ = truths[f]
+        rng_p = np.linalg.norm(pts[:, :3], axis=1)
+        d = np.hypot(rng_p - r_t, pts[:, 3] - v_t)
+        k = int(np.argmin(d))
+        if d[k] > 0.15:  # target not detected on this frame
+            continue
+        az_p = np.arctan2(pts[k, 1], pts[k, 0])
+        errs.append(az_p - az_t)
+    return np.asarray(errs)
+
+
+def run_modes(cfg, raw_re, raw_im):
+    import jax
+
+    from bench import AZ_IDXS, CFAR_PARAMS, EL_IDXS
+    from mmwave_radar_processing_tpu.parallel.pipeline import (
+        build_point_cloud_pipeline,
+    )
+    from mmwave_radar_processing_tpu.utils.platform import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
+    out = {}
+    for mode in ("fast", "exact", "f32"):
+        fn = build_point_cloud_pipeline(
+            cfg, az_antenna_idxs=AZ_IDXS, el_antenna_idxs=EL_IDXS,
+            cfar_params=CFAR_PARAMS, max_dets=128, backend="mxu",
+            aoa_precision=mode)
+        res = fn(raw_re, raw_im)
+        out[mode] = (np.asarray(res.points), np.asarray(res.valid))
+    return out
+
+
+def main():
+    if "--child-cpu" in sys.argv:
+        # CPU oracle: same scenes, fast mode (exact on CPU anyway)
+        cfg, raw_re, raw_im, truths = make_truth_frames()
+        modes = run_modes(cfg, raw_re, raw_im)
+        np.savez(sys.argv[-1], points=modes["fast"][0],
+                 valid=modes["fast"][1])
+        return
+
+    cfg, raw_re, raw_im, truths = make_truth_frames()
+    modes = run_modes(cfg, raw_re, raw_im)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        npz = os.path.join(td, "cpu.npz")
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child-cpu", npz],
+            env=env, cwd=_HERE, check=True, timeout=1800)
+        with np.load(npz) as z:
+            modes["cpu_oracle"] = (z["points"], z["valid"])
+
+    report = {"n_frames": N_FRAMES, "seed": SEED,
+              "angle_grid_step_deg": round(
+                  float(np.rad2deg(np.arcsin(2.0 / 64) * 2)), 3),
+              "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+              "modes": {}}
+    for mode, (pts, valid) in modes.items():
+        errs = angle_errors(pts, valid, truths)
+        report["modes"][mode] = {
+            "n_matched": int(errs.size),
+            "rmse_deg": round(float(np.rad2deg(
+                np.sqrt(np.mean(errs ** 2)))), 3),
+            "p90_abs_deg": round(float(np.rad2deg(
+                np.quantile(np.abs(errs), 0.9))), 3),
+            "max_abs_deg": round(float(np.rad2deg(
+                np.max(np.abs(errs)))), 3) if errs.size else None,
+        }
+    fast, f32 = (report["modes"]["fast"]["rmse_deg"],
+                 report["modes"]["f32"]["rmse_deg"])
+    report["fast_vs_f32_rmse_delta_deg"] = round(fast - f32, 3)
+    report["defense_holds"] = bool(
+        abs(fast - f32) <= 0.5)  # well under one 2.9-deg angle bin
+    with open(os.path.join(_HERE, "ANGLE_ACCURACY.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
