@@ -434,19 +434,18 @@ def rd_values_from_raw(
     w, nv = rc.shape[1], dc.shape[1]
     oh_r = (r_idx[None, :] == jnp.arange(w)[:, None]).astype(jnp.float32)
     oh_v = (v_idx[None, :] == jnp.arange(nv)[:, None]).astype(jnp.float32)
-    oh_vT = oh_v.T  # (K, V)
 
     # per-chirp-cfg Doppler factors expanded to the raw 210-chirp layout
-    # (static, zeros off-stride) — selecting columns of these instead of
-    # slicing P with a lane stride: lane-strided slices relayout the whole
-    # (K, nt) plane per channel (measured 2.5x pipeline regression).
+    # (static, zeros off-stride): the chirp-cfg selection lives in the
+    # factor matrix, never as a strided slice (lane-strided slices relayout
+    # whole planes — measured 2.5x pipeline regression).
     cfgs_needed = sorted({int(v) // num_rx for v in channels})
     dstr = {c: doppler_factors_strided((dc, ds), c, cfgs_per_loop)
             for c in cfgs_needed}
 
     if mode == "fast":
         f_c, f_s = rc @ oh_r, rs @ oh_r  # (ns, K)
-        h = {c: (oh_vT @ dstr[c][0].T, oh_vT @ dstr[c][1].T)  # (K, nt)
+        h = {c: (dstr[c][0] @ oh_v, dstr[c][1] @ oh_v)  # (nt, K)
              for c in cfgs_needed}
         prec = None
     elif mode == "exact":
@@ -456,35 +455,32 @@ def rd_values_from_raw(
         f_s = rsh @ oh_r + rsl @ oh_r
         h = {}
         for c in cfgs_needed:
-            dch, dcl = _static_hilo(np.asarray(dstr[c][0]).T)
-            dsh, dsl = _static_hilo(np.asarray(dstr[c][1]).T)
-            h[c] = (oh_vT @ dch + oh_vT @ dcl, oh_vT @ dsh + oh_vT @ dsl)
+            dch, dcl = _static_hilo(dstr[c][0])
+            dsh, dsl = _static_hilo(dstr[c][1])
+            h[c] = (dch @ oh_v + dcl @ oh_v, dsh @ oh_v + dsl @ oh_v)
         prec = jax.lax.Precision.HIGH
     else:
         raise ValueError(f"unknown rd-values mode {mode!r}")
 
-    # K-major orientation: ``P[rx] = F^T raw[rx]`` keeps the big raw operand
-    # on the RHS in its natural (ns, nt) layout — contracting raw's leading
-    # axis with raw as LHS forces XLA to relayout the whole cube.  Only the
-    # tiny (ns, K) factor selections are transposed.
-    fct, fst = f_c.T, f_s.T  # (K, ns)
-    rx_needed = sorted({int(v) % num_rx for v in channels})
-    p = {}
-    for rx in rx_needed:
-        ar, ai = raw.re[rx], raw.im[rx]  # (ns, nt)
-        p_re = (jnp.einsum("ks,st->kt", fct, ar, precision=prec)
-                + jnp.einsum("ks,st->kt", fst, ai, precision=prec))
-        p_im = (jnp.einsum("ks,st->kt", fct, ai, precision=prec)
-                - jnp.einsum("ks,st->kt", fst, ar, precision=prec))
-        p[rx] = (p_re, p_im)
-
+    # Q-first contraction order (round-5 measured winner): contract the
+    # CHIRP axis first — ``Q = raw[rx] @ H_cfg`` is a natural-layout matmul
+    # (raw LHS contracts its lane axis) with a SMALL (ns, K) result, and the
+    # remaining sample contraction is a tiny diagonal reduction against the
+    # selected range-DFT rows.  The sample-first order (``P = F^T raw``)
+    # materializes (K, nt) planes per rx — ~0.9 GB/dispatch of HBM traffic
+    # at batch 1024 that this order never creates (measured 11.6 ms vs the
+    # union pipeline's 5.7; see BENCH_SELF round 5).
     vals_re, vals_im = [], []
     for v in channels:
         rx, cfg = int(v) % num_rx, int(v) // num_rx
-        pa_re, pa_im = p[rx]
-        h_c, h_s = h[cfg]  # (K, nt), zeros off this cfg's chirp stride
-        vals_re.append(jnp.sum(pa_re * h_c + pa_im * h_s, axis=-1))
-        vals_im.append(jnp.sum(pa_im * h_c - pa_re * h_s, axis=-1))
+        ar, ai = raw.re[rx], raw.im[rx]  # (ns, nt)
+        h_c, h_s = h[cfg]  # (nt, K)
+        q_re = (jnp.einsum("st,tk->sk", ar, h_c, precision=prec)
+                + jnp.einsum("st,tk->sk", ai, h_s, precision=prec))
+        q_im = (jnp.einsum("st,tk->sk", ai, h_c, precision=prec)
+                - jnp.einsum("st,tk->sk", ar, h_s, precision=prec))
+        vals_re.append(jnp.sum(q_re * f_c + q_im * f_s, axis=0))
+        vals_im.append(jnp.sum(q_im * f_c - q_re * f_s, axis=0))
     return C2(jnp.stack(vals_re), jnp.stack(vals_im))
 
 

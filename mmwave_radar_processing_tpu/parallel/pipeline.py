@@ -199,6 +199,113 @@ def _build_pipeline_mxu(
     interior = ((edge_r, edge_d)
                 if ns - 2 * edge_r > 0 and nc_loops - 2 * edge_d > 0 else None)
 
+    if dataflow == "rawd" and reformat_input:
+        # Round-5 "Doppler-first" dataflow: the per-channel Doppler DFT runs
+        # DIRECTLY on the raw cube with the chirp-cfg stride folded into the
+        # static factor matrix (``rawD[ch] = raw[rx] @ Dstr_cfg`` — a natural
+        # -layout matmul with a static dense RHS; the virtual-array reformat
+        # happens implicitly, with NO reshape/stack relayout).  The CFAR map
+        # is the range DFT of rawD[ch0]; per-detection AoA values select
+        # Doppler columns of rawD with the one-hot (small (ns, K) results)
+        # and contract the selected range-DFT factor rows on the VPU.  Range
+        # and Doppler DFTs commute (separable), so outputs match the union
+        # dataflow to float tolerance.
+        dstr = {c: mxu.doppler_factors_strided(dop_factors, c, cpl)
+                for c in sorted({int(v) // num_rx for v in union_idx} | {0})}
+        union_chans2 = tuple(int(v) for v in union_idx)
+        # per-rx STACKED factor matrices: all of an rx's (cfg, cos/sin)
+        # Doppler blocks concatenate on the column axis, so the whole rawD
+        # cube is ONE natural-layout matmul per rx/plane (8 total) instead of
+        # 4 per channel (28) — the static blocks slice back out for free
+        rx_cfgs = {}
+        for v in union_chans2:
+            rx_cfgs.setdefault(int(v) % num_rx, []).append(int(v) // num_rx)
+        rx_stack = {
+            rx: jnp.asarray(np.concatenate(
+                [np.concatenate([dstr[c][0], dstr[c][1]], axis=1)
+                 for c in cfgs], axis=1))
+            for rx, cfgs in rx_cfgs.items()
+        }
+        rc_np, rs_np = np.asarray(rng_factors[0]), np.asarray(rng_factors[1])
+        if aoa_precision in ("exact", "f32"):
+            rc_hi, rc_lo = mxu._static_hilo(rc_np)
+            rs_hi, rs_lo = mxu._static_hilo(rs_np)
+        dft_prec2 = (jax.lax.Precision.HIGH if aoa_precision == "f32"
+                     else None)
+        nv2 = nc_loops
+
+        def single_frame(raw_re, raw_im):
+            # rawD[ch] for every union channel via the stacked matmuls
+            blocks = {}
+            for rx, cfgs in rx_cfgs.items():
+                ab = jnp.matmul(raw_re[rx], rx_stack[rx],
+                                precision=dft_prec2)
+                bb = jnp.matmul(raw_im[rx], rx_stack[rx],
+                                precision=dft_prec2)
+                for i, cfg in enumerate(cfgs):
+                    a_c = ab[:, 2 * i * nv2:(2 * i + 1) * nv2]
+                    a_s = ab[:, (2 * i + 1) * nv2:(2 * i + 2) * nv2]
+                    b_c = bb[:, 2 * i * nv2:(2 * i + 1) * nv2]
+                    b_s = bb[:, (2 * i + 1) * nv2:(2 * i + 2) * nv2]
+                    blocks[cfg * num_rx + rx] = mxu.C2(a_c + b_s, b_c - a_s)
+            rawd_s = mxu.C2(
+                jnp.stack([blocks[v].re for v in union_chans2]),
+                jnp.stack([blocks[v].im for v in union_chans2]),
+            )  # (A, ns, nv)
+            ch0 = int(np.searchsorted(union_idx, 0))
+            rd0 = mxu.dft_apply(
+                mxu.C2(rawd_s.re[ch0], rawd_s.im[ch0]), rng_factors,
+                axis=-2, precision=dft_prec2)
+            mag = mxu.cabs(rd0)
+            det = cfar_ops.os_2d_detect(mag, **cfar_params)
+            r_i, v_i, valid, count = masked.mask_to_indices_2d(
+                det, max_dets, interior=interior
+            )
+            oh_r = (r_i[None, :] == jnp.arange(ns)[:, None]).astype(
+                jnp.float32)
+            oh_v = (v_i[None, :] == jnp.arange(nc_loops)[:, None]).astype(
+                jnp.float32)
+            if aoa_precision == "fast":
+                f_c, f_s = rng_factors[0] @ oh_r, rng_factors[1] @ oh_r
+                q_re = jnp.einsum("asv,vk->ask", rawd_s.re, oh_v)
+                q_im = jnp.einsum("asv,vk->ask", rawd_s.im, oh_v)
+            else:
+                f_c = rc_hi @ oh_r + rc_lo @ oh_r
+                f_s = rs_hi @ oh_r + rs_lo @ oh_r
+                # exact-in-f32 one-hot column selection (hi/lo split)
+                hi_re = rawd_s.re.astype(jnp.bfloat16).astype(jnp.float32)
+                hi_im = rawd_s.im.astype(jnp.bfloat16).astype(jnp.float32)
+                q_re = (jnp.einsum("asv,vk->ask", hi_re, oh_v)
+                        + jnp.einsum("asv,vk->ask", rawd_s.re - hi_re, oh_v))
+                q_im = (jnp.einsum("asv,vk->ask", hi_im, oh_v)
+                        + jnp.einsum("asv,vk->ask", rawd_s.im - hi_im, oh_v))
+            vals = mxu.C2(
+                jnp.einsum("ask,sk->ak", q_re, f_c)
+                + jnp.einsum("ask,sk->ak", q_im, f_s),
+                jnp.einsum("ask,sk->ak", q_im, f_c)
+                - jnp.einsum("ask,sk->ak", q_re, f_s),
+            )
+            aoa_prec = None if aoa_precision == "fast" else "highest"
+            az = (
+                mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins,
+                                    precision=aoa_prec)
+                if az_idx.size
+                else jnp.zeros(r_i.shape, jnp.float32)
+            )
+            el = (
+                mxu.aoa_peak_angles(vals, el_pos, el_factors, angle_bins,
+                                    precision=aoa_prec)
+                if el_idx.size
+                else jnp.zeros(r_i.shape, jnp.float32)
+            )
+            ranges = r_i.astype(jnp.float32) * range_res
+            vels = vel0 + v_i.astype(jnp.float32) * vel_res
+            pts = spherical_to_cartesian_flu(ranges, az, el, vels)
+            pts = jnp.where(valid[:, None], pts, 0.0)
+            return PointCloudBatch(pts, valid, count)
+
+        return jax.jit(jax.vmap(single_frame))
+
     if dataflow == "raw" and reformat_input:
         # Round-5 dataflow: every consumer contracts the RAW cube directly.
         # The round-4 union-cube path reshaped raw to (rx, ns, loops, cpl)

@@ -710,7 +710,7 @@ def test_pointcloud_precision_modes_and_dataflows_agree(flagship_config):
     base = build_point_cloud_pipeline(cfg, dataflow="union",
                                       aoa_precision="fast", **kw)(rr, ri)
     assert int(np.asarray(base.count).sum()) > 0
-    for dataflow in ("union", "raw"):
+    for dataflow in ("union", "raw", "rawd"):
         for precision in ("fast", "exact", "f32"):
             if (dataflow, precision) == ("union", "fast"):
                 continue
