@@ -459,7 +459,11 @@ def main():
             max_retries=max(0, args.health_retries))
     best = health.pop("frames_per_s")
 
-    if args.update_expected and not health.get("degraded_run"):
+    # the record updates only from a run the health checks actually PASSED
+    # (degraded_run False, not the None a --no-health run reports) — else an
+    # unchecked degraded capture could poison the known-good record and
+    # defeat the 3x-below-record criterion for every future run
+    if args.update_expected and health.get("degraded_run") is False:
         bench_health.update_expected(args.metric, total_batch, best,
                                      platform=jax.default_backend())
         print(f"HEALTH_EXPECTED.json updated: {args.metric} = {best:.1f} "

@@ -369,7 +369,8 @@ def doppler_factors_strided(dop_factors, cfg_idx: int, cfgs_per_loop: int):
     return out_c, out_s
 
 
-def rd0_map_from_raw(raw: C2, rx: int, rng_factors, dop_strided) -> C2:
+def rd0_map_from_raw(raw: C2, rx: int, rng_factors, dop_strided,
+                     precision=None) -> C2:
     """One virtual channel's windowed RD map straight from the raw cube.
 
     ``(E_w^T raw[rx]) @ D_strided`` — two clean matmul chains, no reformat
@@ -381,11 +382,15 @@ def rd0_map_from_raw(raw: C2, rx: int, rng_factors, dop_strided) -> C2:
     """
     rc, rs = rng_factors
     d0c, d0s = dop_strided
-    t_re = (jnp.einsum("sc,sw->wc", raw.re[rx], rc)
-            + jnp.einsum("sc,sw->wc", raw.im[rx], rs))
-    t_im = (jnp.einsum("sc,sw->wc", raw.im[rx], rc)
-            - jnp.einsum("sc,sw->wc", raw.re[rx], rs))
-    return C2(t_re @ d0c + t_im @ d0s, t_im @ d0c - t_re @ d0s)
+    p = precision
+    t_re = (jnp.einsum("sc,sw->wc", raw.re[rx], rc, precision=p)
+            + jnp.einsum("sc,sw->wc", raw.im[rx], rs, precision=p))
+    t_im = (jnp.einsum("sc,sw->wc", raw.im[rx], rc, precision=p)
+            - jnp.einsum("sc,sw->wc", raw.re[rx], rs, precision=p))
+    return C2(jnp.matmul(t_re, d0c, precision=p)
+              + jnp.matmul(t_im, d0s, precision=p),
+              jnp.matmul(t_im, d0c, precision=p)
+              - jnp.matmul(t_re, d0s, precision=p))
 
 
 #: static hi/lo bf16 split of a factor matrix — hi passes a default-precision

@@ -166,6 +166,18 @@ def _build_pipeline_mxu(
     """
     from mmwave_radar_processing_tpu.ops import mxu
 
+    # validate the knobs BEFORE any dataflow branch: a typo'd value must
+    # never silently run a different path (the same rule this round added to
+    # capon_from_covariance / rd_values_from_raw)
+    if dataflow not in ("union", "raw", "rawd"):
+        raise ValueError(f"unknown dataflow {dataflow!r} "
+                         "(expected 'union', 'raw' or 'rawd')")
+    if dataflow != "union" and not reformat_input:
+        raise ValueError(
+            f"dataflow={dataflow!r} operates on the RAW cube and requires "
+            "reformat_input=True (pre-reformatted input uses 'union')")
+    if aoa_precision not in ("fast", "exact", "f32"):
+        raise ValueError(f"unknown aoa_precision {aoa_precision!r}")
     cfar_params = cfar_params or dict(
         num_train=(5, 5), num_guard=(3, 2), rho=0.7, alpha=4.0
     )
@@ -210,15 +222,20 @@ def _build_pipeline_mxu(
         # and contract the selected range-DFT factor rows on the VPU.  Range
         # and Doppler DFTs commute (separable), so outputs match the union
         # dataflow to float tolerance.
-        dstr = {c: mxu.doppler_factors_strided(dop_factors, c, cpl)
-                for c in sorted({int(v) // num_rx for v in union_idx} | {0})}
         union_chans2 = tuple(int(v) for v in union_idx)
+        # channel 0 always computes (the CFAR map lives there) even when the
+        # AoA union doesn't contain it — the detection set must not depend
+        # on which antennas do AoA (caught by the round-5 review: with
+        # az=(3,4,7) the searchsorted ch0 silently pointed at channel 3)
+        chans_rawd = tuple(sorted(set(union_chans2) | {0}))
+        dstr = {c: mxu.doppler_factors_strided(dop_factors, c, cpl)
+                for c in sorted({int(v) // num_rx for v in chans_rawd})}
         # per-rx STACKED factor matrices: all of an rx's (cfg, cos/sin)
         # Doppler blocks concatenate on the column axis, so the whole rawD
         # cube is ONE natural-layout matmul per rx/plane (8 total) instead of
         # 4 per channel (28) — the static blocks slice back out for free
         rx_cfgs = {}
-        for v in union_chans2:
+        for v in chans_rawd:
             rx_cfgs.setdefault(int(v) % num_rx, []).append(int(v) // num_rx)
         rx_stack = {
             rx: jnp.asarray(np.concatenate(
@@ -248,14 +265,9 @@ def _build_pipeline_mxu(
                     b_c = bb[:, 2 * i * nv2:(2 * i + 1) * nv2]
                     b_s = bb[:, (2 * i + 1) * nv2:(2 * i + 2) * nv2]
                     blocks[cfg * num_rx + rx] = mxu.C2(a_c + b_s, b_c - a_s)
-            rawd_s = mxu.C2(
-                jnp.stack([blocks[v].re for v in union_chans2]),
-                jnp.stack([blocks[v].im for v in union_chans2]),
-            )  # (A, ns, nv)
-            ch0 = int(np.searchsorted(union_idx, 0))
-            rd0 = mxu.dft_apply(
-                mxu.C2(rawd_s.re[ch0], rawd_s.im[ch0]), rng_factors,
-                axis=-2, precision=dft_prec2)
+            # CFAR map: always from channel 0 (whether or not AoA uses it)
+            rd0 = mxu.dft_apply(blocks[0], rng_factors,
+                                axis=-2, precision=dft_prec2)
             mag = mxu.cabs(rd0)
             det = cfar_ops.os_2d_detect(mag, **cfar_params)
             r_i, v_i, valid, count = masked.mask_to_indices_2d(
@@ -265,26 +277,41 @@ def _build_pipeline_mxu(
                 jnp.float32)
             oh_v = (v_i[None, :] == jnp.arange(nc_loops)[:, None]).astype(
                 jnp.float32)
-            if aoa_precision == "fast":
-                f_c, f_s = rng_factors[0] @ oh_r, rng_factors[1] @ oh_r
-                q_re = jnp.einsum("asv,vk->ask", rawd_s.re, oh_v)
-                q_im = jnp.einsum("asv,vk->ask", rawd_s.im, oh_v)
-            else:
-                f_c = rc_hi @ oh_r + rc_lo @ oh_r
-                f_s = rs_hi @ oh_r + rs_lo @ oh_r
-                # exact-in-f32 one-hot column selection (hi/lo split)
-                hi_re = rawd_s.re.astype(jnp.bfloat16).astype(jnp.float32)
-                hi_im = rawd_s.im.astype(jnp.bfloat16).astype(jnp.float32)
-                q_re = (jnp.einsum("asv,vk->ask", hi_re, oh_v)
-                        + jnp.einsum("asv,vk->ask", rawd_s.re - hi_re, oh_v))
-                q_im = (jnp.einsum("asv,vk->ask", hi_im, oh_v)
-                        + jnp.einsum("asv,vk->ask", rawd_s.im - hi_im, oh_v))
-            vals = mxu.C2(
-                jnp.einsum("ask,sk->ak", q_re, f_c)
-                + jnp.einsum("ask,sk->ak", q_im, f_s),
-                jnp.einsum("ask,sk->ak", q_im, f_c)
-                - jnp.einsum("ask,sk->ak", q_re, f_s),
-            )
+            if union_chans2:
+                rawd_s = mxu.C2(
+                    jnp.stack([blocks[v].re for v in union_chans2]),
+                    jnp.stack([blocks[v].im for v in union_chans2]),
+                )  # (A, ns, nv)
+                # the closing contraction feeds the AoA argmax: in
+                # exact/f32 it must not re-truncate the carefully-split
+                # operands to bf16 (HIGHEST is free at (A, ns, K) sizes)
+                vprec = (None if aoa_precision == "fast"
+                         else jax.lax.Precision.HIGHEST)
+                if aoa_precision == "fast":
+                    f_c = rng_factors[0] @ oh_r
+                    f_s = rng_factors[1] @ oh_r
+                    q_re = jnp.einsum("asv,vk->ask", rawd_s.re, oh_v)
+                    q_im = jnp.einsum("asv,vk->ask", rawd_s.im, oh_v)
+                else:
+                    f_c = rc_hi @ oh_r + rc_lo @ oh_r
+                    f_s = rs_hi @ oh_r + rs_lo @ oh_r
+                    # exact-in-f32 one-hot column selection (hi/lo split)
+                    hi_re = rawd_s.re.astype(jnp.bfloat16).astype(
+                        jnp.float32)
+                    hi_im = rawd_s.im.astype(jnp.bfloat16).astype(
+                        jnp.float32)
+                    q_re = (jnp.einsum("asv,vk->ask", hi_re, oh_v)
+                            + jnp.einsum("asv,vk->ask",
+                                         rawd_s.re - hi_re, oh_v))
+                    q_im = (jnp.einsum("asv,vk->ask", hi_im, oh_v)
+                            + jnp.einsum("asv,vk->ask",
+                                         rawd_s.im - hi_im, oh_v))
+                vals = mxu.C2(
+                    jnp.einsum("ask,sk->ak", q_re, f_c, precision=vprec)
+                    + jnp.einsum("ask,sk->ak", q_im, f_s, precision=vprec),
+                    jnp.einsum("ask,sk->ak", q_im, f_c, precision=vprec)
+                    - jnp.einsum("ask,sk->ak", q_re, f_s, precision=vprec),
+                )
             aoa_prec = None if aoa_precision == "fast" else "highest"
             az = (
                 mxu.aoa_peak_angles(vals, az_pos, az_factors, angle_bins,
@@ -318,10 +345,16 @@ def _build_pipeline_mxu(
         # union-cube intermediate, nothing but the raw read + small matmuls.
         dop0_strided = mxu.doppler_factors_strided(dop_factors, 0, cpl)
         union_chans = tuple(int(v) for v in union_idx)
+        # "f32" runs the CFAR-map DFTs at HIGH too — bf16 error in the
+        # detection map alone capped the verify set-IoU at ~0.88 (the same
+        # rule as the union branch's dft_prec)
+        dft_prec_raw = (jax.lax.Precision.HIGH if aoa_precision == "f32"
+                        else None)
 
         def single_frame(raw_re, raw_im):
             raw = mxu.C2(raw_re, raw_im)
-            rd0 = mxu.rd0_map_from_raw(raw, 0, rng_factors, dop0_strided)
+            rd0 = mxu.rd0_map_from_raw(raw, 0, rng_factors, dop0_strided,
+                                       precision=dft_prec_raw)
             mag = mxu.cabs(rd0)
             det = cfar_ops.os_2d_detect(mag, **cfar_params)
             r_i, v_i, valid, count = masked.mask_to_indices_2d(
@@ -354,8 +387,6 @@ def _build_pipeline_mxu(
 
         return jax.jit(jax.vmap(single_frame))
 
-    if aoa_precision not in ("fast", "exact", "f32"):
-        raise ValueError(f"unknown aoa_precision {aoa_precision!r}")
     # "f32": the WHOLE decision chain runs at f32-equivalent precision —
     # range DFT and Doppler map at Precision.HIGH (bf16x3 passes), exact
     # hi/lo value selection, f32 angle transform.  Closes the device-vs-CPU

@@ -334,12 +334,17 @@ class VelocityEstimator(DopplerAzimuthProcessor):
         """
         if points.shape[0] == 0:
             return 0.0, 0.0, 0.0
-        u = points[:, 0:2] / np.linalg.norm(points[:, 0:2], axis=1,
-                                            keepdims=True)
-        y = -points[:, 3] - u[:, 0] * vx
+        # fixed-capacity point clouds zero-pad invalid rows
+        # (parallel/pipeline.py: ``where(valid, pts, 0)``) — a zero-norm row
+        # would NaN the normalization and poison every RANSAC trial, so mask
+        # them out instead of dividing by their norm
+        norms = np.linalg.norm(points[:, 0:2], axis=1)
+        live = norms > 0.0
+        u = points[:, 0:2] / np.where(norms, norms, 1.0)[:, None]
+        y = np.where(live, -points[:, 3] - u[:, 0] * vx, 0.0)
         h = u[:, 1:2]
         res = ransac_linear(
-            h, y, np.ones(len(y), bool), self._next_key(),
+            h, y, live, self._next_key(),
             min_samples=10, residual_threshold=0.15, max_trials=20,
         )
         return float(res.coef[0]), float(res.r2), float(res.inlier_fraction)

@@ -41,12 +41,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(_HERE, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
     from mmwave_radar_processing_tpu.ops import mxu
+    from mmwave_radar_processing_tpu.utils.platform import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
 
     cfg = _flagship_config()
     ns, nloops = cfg.num_adc_samples, cfg.frame.loops
@@ -82,14 +82,9 @@ def main():
                             for v in chans])
         return sel_re + sel_im
 
-    # Doppler factors in raw-chirp (210) layout for cfg j: D[t, v] nonzero
-    # only at t = j + c*cpl with value dop[c, v]
-    d0c = np.zeros((nloops * cpl, nloops), np.float32)
-    d0s = np.zeros((nloops * cpl, nloops), np.float32)
-    j0 = 0  # channel 0 = rx 0, cfg 0
-    d0c[j0::cpl, :] = np.asarray(dc)
-    d0s[j0::cpl, :] = np.asarray(ds)
-    d0c, d0s = jnp.asarray(d0c), jnp.asarray(d0s)
+    # Doppler factors in raw-chirp (210) layout for cfg 0 (channel 0 =
+    # rx 0, cfg 0) — the tested library helper, not a local copy
+    d0c, d0s = mxu.doppler_factors_strided(dop_factors, 0, cpl)
 
     def tform_rd0mag(raw_re, raw_im):
         t_re = (jnp.einsum("sc,sw->wc", raw_re[0], rc)

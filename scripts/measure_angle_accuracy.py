@@ -79,9 +79,7 @@ def angle_errors(points, valid, truths):
     return np.asarray(errs)
 
 
-def run_modes(cfg, raw_re, raw_im):
-    import jax
-
+def run_modes(cfg, raw_re, raw_im, modes=("fast", "exact", "f32")):
     from bench import AZ_IDXS, CFAR_PARAMS, EL_IDXS
     from mmwave_radar_processing_tpu.parallel.pipeline import (
         build_point_cloud_pipeline,
@@ -92,7 +90,7 @@ def run_modes(cfg, raw_re, raw_im):
 
     enable_persistent_compile_cache()
     out = {}
-    for mode in ("fast", "exact", "f32"):
+    for mode in modes:
         fn = build_point_cloud_pipeline(
             cfg, az_antenna_idxs=AZ_IDXS, el_antenna_idxs=EL_IDXS,
             cfar_params=CFAR_PARAMS, max_dets=128, backend="mxu",
@@ -104,9 +102,10 @@ def run_modes(cfg, raw_re, raw_im):
 
 def main():
     if "--child-cpu" in sys.argv:
-        # CPU oracle: same scenes, fast mode (exact on CPU anyway)
+        # CPU oracle: same scenes, fast mode only (every mode is exact on
+        # CPU — running the other two would be pure waste)
         cfg, raw_re, raw_im, truths = make_truth_frames()
-        modes = run_modes(cfg, raw_re, raw_im)
+        modes = run_modes(cfg, raw_re, raw_im, modes=("fast",))
         np.savez(sys.argv[-1], points=modes["fast"][0],
                  valid=modes["fast"][1])
         return
@@ -132,20 +131,28 @@ def main():
               "modes": {}}
     for mode, (pts, valid) in modes.items():
         errs = angle_errors(pts, valid, truths)
-        report["modes"][mode] = {
-            "n_matched": int(errs.size),
-            "rmse_deg": round(float(np.rad2deg(
-                np.sqrt(np.mean(errs ** 2)))), 3),
-            "p90_abs_deg": round(float(np.rad2deg(
-                np.quantile(np.abs(errs), 0.9))), 3),
-            "max_abs_deg": round(float(np.rad2deg(
-                np.max(np.abs(errs)))), 3) if errs.size else None,
-        }
+        if errs.size:
+            stats = {
+                "rmse_deg": round(float(np.rad2deg(
+                    np.sqrt(np.mean(errs ** 2)))), 3),
+                "p90_abs_deg": round(float(np.rad2deg(
+                    np.quantile(np.abs(errs), 0.9))), 3),
+                "max_abs_deg": round(float(np.rad2deg(
+                    np.max(np.abs(errs)))), 3),
+            }
+        else:  # no detection matched the planted target in any frame
+            stats = {"rmse_deg": None, "p90_abs_deg": None,
+                     "max_abs_deg": None}
+        report["modes"][mode] = {"n_matched": int(errs.size), **stats}
     fast, f32 = (report["modes"]["fast"]["rmse_deg"],
                  report["modes"]["f32"]["rmse_deg"])
-    report["fast_vs_f32_rmse_delta_deg"] = round(fast - f32, 3)
-    report["defense_holds"] = bool(
-        abs(fast - f32) <= 0.5)  # well under one 2.9-deg angle bin
+    if fast is None or f32 is None:
+        report["fast_vs_f32_rmse_delta_deg"] = None
+        report["defense_holds"] = False  # nothing matched — no claim made
+    else:
+        report["fast_vs_f32_rmse_delta_deg"] = round(fast - f32, 3)
+        # well under one angle-grid step (3.58 deg)
+        report["defense_holds"] = bool(abs(fast - f32) <= 0.5)
     with open(os.path.join(_HERE, "ANGLE_ACCURACY.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))

@@ -239,3 +239,33 @@ def test_velocity_analyzer_parity(rng):
     np.testing.assert_allclose(
         ours.generate_report().values, ref.generate_report().values, rtol=1e-12
     )
+
+
+def test_hybrid_vy_tolerates_zero_padded_points(flagship_cfg_path, rng):
+    """Fixed-capacity zero-padded point rows must not NaN the hybrid fit.
+
+    Round-5 review regression: the framework's own point clouds zero invalid
+    rows; normalizing a zero row produced NaN directions that poisoned every
+    RANSAC trial.
+    """
+    from mmwave_radar_processing_tpu.config import load_cfg
+    from mmwave_radar_processing_tpu.processors.velocity_estimator import (
+        VelocityEstimator,
+    )
+
+    cfg = load_cfg(str(flagship_cfg_path).replace(
+        "6843_RadVel_ods_20Hz", "1843_RadVel_20Hz"),
+        array_geometry="standard", array_direction="out")
+    ego = np.array([0.9, 0.3, 0.0])
+    pts = _ground_points(rng, ego, n=80, n_out=5, planar=True)
+    padded = np.concatenate([pts, np.zeros((48, 4), pts.dtype)])
+
+    est = VelocityEstimator(cfg, lower_range_bound=0.5, upper_range_bound=0.5,
+                            min_R2_threshold=0.2, min_inlier_percent=0.3,
+                            vy_mode="hybrid_points")
+    vy, r2, inl = est.lsq_fit_ego_vy_ransac_points_fixed_vx(padded, ego[0])
+    assert np.isfinite([vy, r2, inl]).all()
+    assert abs(vy - ego[1]) < 0.08
+    # unpadded agreement: the zero rows are excluded, not merely survived
+    vy2, _, _ = est.lsq_fit_ego_vy_ransac_points_fixed_vx(pts, ego[0])
+    assert abs(vy - vy2) < 0.05

@@ -774,3 +774,51 @@ def test_doppler_factors_strided_layout():
         mask = np.ones(24, bool)
         mask[cfg_idx::3] = False
         assert np.all(oc[mask] == 0.0) and np.all(os_[mask] == 0.0)
+
+
+def test_rawd_cfar_channel_independent_of_aoa_union(flagship_config):
+    """rawd detections must not depend on which antennas do AoA.
+
+    Round-5 review regression: with channel 0 absent from the az/el union,
+    the rawd CFAR map silently used another channel's response (searchsorted
+    insertion point), changing the detection set vs the union dataflow.
+    """
+    from mmwave_radar_processing_tpu.data import PointTarget, Scene, simulate_frame
+    from mmwave_radar_processing_tpu.parallel.pipeline import (
+        build_point_cloud_pipeline,
+    )
+
+    cfg = flagship_config
+    rng = np.random.default_rng(8)
+    raw = np.stack([simulate_frame(cfg, Scene(
+        targets=[PointTarget(range_m=1.4, azimuth_rad=0.2,
+                             velocity_m_s=0.4, rcs=3.0)],
+        noise_sigma=0.05), rng) for _ in range(2)])
+    rr, ri = raw.real.astype(np.float32), raw.imag.astype(np.float32)
+    kw = dict(az_antenna_idxs=(3, 4, 7), el_antenna_idxs=(9, 8, 5),
+              cfar_params=dict(num_train=(5, 5), num_guard=(3, 2), rho=0.7,
+                               alpha=4.0),
+              max_dets=64, backend="mxu")
+    o = build_point_cloud_pipeline(cfg, dataflow="union", **kw)(rr, ri)
+    n = build_point_cloud_pipeline(cfg, dataflow="rawd", **kw)(rr, ri)
+    np.testing.assert_array_equal(np.asarray(o.count), np.asarray(n.count))
+    np.testing.assert_allclose(np.asarray(o.points), np.asarray(n.points),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pipeline_knob_validation(flagship_config):
+    """Typo'd dataflow/precision values raise instead of silently degrading."""
+    import pytest
+
+    from mmwave_radar_processing_tpu.parallel.pipeline import (
+        build_point_cloud_pipeline,
+    )
+
+    with pytest.raises(ValueError, match="unknown dataflow"):
+        build_point_cloud_pipeline(flagship_config, dataflow="rawD")
+    with pytest.raises(ValueError, match="unknown aoa_precision"):
+        build_point_cloud_pipeline(flagship_config, dataflow="raw",
+                                   aoa_precision="exactt")
+    with pytest.raises(ValueError, match="requires reformat_input"):
+        build_point_cloud_pipeline(flagship_config, dataflow="rawd",
+                                   reformat_input=False)
