@@ -198,3 +198,48 @@ def top_peaks_within_threshold(
     top_vals, top_idx = jax.lax.top_k(vals, max_peaks)
     valid = jnp.isfinite(top_vals)
     return top_idx, jnp.where(valid, top_vals, 0.0), valid
+
+
+@partial(jax.jit, static_argnames=("min_prominence",))
+def best_prominent_peak(x: jax.Array, min_prominence: float):
+    """Highest-value local maximum with prominence >= ``min_prominence``.
+
+    Bit-compatible with ``argmax(where(local_maxima & (prominences >= p),
+    x, -inf))`` but ~2x cheaper: strict local maxima of an N-sample row
+    number at most ceil((N-1)/2), so prominences are evaluated only at the
+    top-(N//2) candidates by value (an exact bound — the candidate set can
+    never overflow) on (M, N) masks instead of the full (N, N) pair matrix.
+    Round-5 velocity stage bisection put 3.2 ms of the 15.5 ms dispatch in
+    the dense per-row prominence pass; this is the semantics-preserving
+    half of that cost.
+
+    Returns ``(index, found)``.
+    """
+    n = x.shape[0]
+    m = (n + 1) // 2  # max possible strict local maxima
+    peak_mask = local_maxima(x)
+    cand_vals, cand_idx = jax.lax.top_k(
+        jnp.where(peak_mask, x, -jnp.inf), m)
+    i = cand_idx[:, None]  # (M, 1)
+    j = jnp.arange(n)[None, :]
+    xi = cand_vals[:, None]
+    xj = x[None, :]
+
+    higher_left = (j < i) & (xj > xi)
+    nhl = jnp.max(jnp.where(higher_left, j, -1), axis=1)
+    in_left = (j > nhl[:, None]) & (j <= i)
+    left_min = jnp.min(jnp.where(in_left, xj, jnp.inf), axis=1)
+    higher_right = (j > i) & (xj > xi)
+    nhr = jnp.min(jnp.where(higher_right, j, n), axis=1)
+    in_right = (j >= i) & (j < nhr[:, None])
+    right_min = jnp.min(jnp.where(in_right, xj, jnp.inf), axis=1)
+    prom = cand_vals - jnp.maximum(left_min, right_min)
+
+    passing = jnp.isfinite(cand_vals) & (prom >= min_prominence)
+    # exact argmax-first semantics: highest passing value, ties broken
+    # toward the LOWEST index (jnp.argmax returns the first occurrence in
+    # the dense formulation)
+    vmax = jnp.max(jnp.where(passing, cand_vals, -jnp.inf))
+    best_idx = jnp.min(jnp.where(passing & (cand_vals == vmax),
+                                 cand_idx, n))
+    return jnp.where(best_idx < n, best_idx, 0), jnp.any(passing)

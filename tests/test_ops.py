@@ -598,3 +598,38 @@ def test_velocity_pipeline_pallas2_matches_pallas():
     for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4,
                                    atol=1e-4)
+
+
+def test_best_prominent_peak_matches_dense(rng):
+    """Candidate-restricted prominence pick == dense mask+argmax, bitwise.
+
+    Sweeps random rows, rows with ties/plateaus, monotone rows, and rows
+    where high-value peaks FAIL the prominence gate while lower ones pass.
+    """
+    from mmwave_radar_processing_tpu.ops import peaks as p
+
+    import jax.numpy as jnp
+
+    def dense(row, thr):
+        m = p.local_maxima(row)
+        m = m & (p.prominences(row, m) >= thr)
+        return (int(jnp.argmax(jnp.where(m, row, -jnp.inf))), bool(jnp.any(m)))
+
+    cases = []
+    for n in (8, 59, 64):
+        for _ in range(40):
+            cases.append(rng.standard_normal(n).astype(np.float32) * 10)
+        # quantized rows force exact value ties
+        cases.append(np.round(rng.standard_normal(n) * 2).astype(np.float32))
+        cases.append(np.arange(n, dtype=np.float32))          # monotone
+        cases.append(np.zeros(n, np.float32))                 # flat
+        shoulder = np.zeros(n, np.float32)                    # high shoulder
+        shoulder[n // 2] = 10.0
+        shoulder[n // 2 + 1] = 9.5                            # fails gate
+        shoulder[2] = 3.0                                     # passes gate
+        cases.append(shoulder)
+    for thr in (4.0, 0.5):
+        for row in cases:
+            want = dense(jnp.asarray(row), thr)
+            got_i, got_f = p.best_prominent_peak(jnp.asarray(row), thr)
+            assert (int(got_i), bool(got_f)) == want, (thr, row[:8], want)
