@@ -188,16 +188,67 @@ def top_peaks_within_threshold(
     the strongest, keep the ``max_peaks`` largest sorted descending by value.
 
     Returns ``(indices, values, valid)`` of shape ``(max_peaks,)``.
+
+    Prominences are evaluated at peak candidates only (see
+    :func:`_candidate_peaks` — an exact bound); the candidate list is
+    value-descending with index-ascending ties, i.e. exactly ``lax.top_k``'s
+    order over the dense masked row, so the selection is bit-compatible with
+    the dense formulation (asserted in ``tests/test_ops.py``).
     """
-    mask = local_maxima(x_db)
-    mask = mask & (prominences(x_db, mask) >= min_prominence)
-    vals = jnp.where(mask, x_db, -jnp.inf)
+    cand_vals, cand_idx = _candidate_peaks(x_db)
+    prom = _prominences_at(x_db, cand_vals, cand_idx)
+    passing = jnp.isfinite(cand_vals) & (prom >= min_prominence)
+    vals = jnp.where(passing, cand_vals, -jnp.inf)
     max_val = jnp.max(vals)
-    mask = mask & (x_db >= max_val - threshold_db)
-    vals = jnp.where(mask, x_db, -jnp.inf)
-    top_vals, top_idx = jax.lax.top_k(vals, max_peaks)
+    passing = passing & (cand_vals >= max_val - threshold_db)
+    vals = jnp.where(passing, cand_vals, -jnp.inf)
+    k = min(max_peaks, vals.shape[0])
+    top_vals, sel = jax.lax.top_k(vals, k)
+    top_idx = jnp.where(jnp.isfinite(top_vals), cand_idx[sel], 0)
+    if k < max_peaks:  # row shorter than the requested peak count
+        pad = max_peaks - k
+        top_vals = jnp.pad(top_vals, (0, pad), constant_values=-jnp.inf)
+        top_idx = jnp.pad(top_idx, (0, pad))
     valid = jnp.isfinite(top_vals)
     return top_idx, jnp.where(valid, top_vals, 0.0), valid
+
+
+def _candidate_peaks(x: jax.Array):
+    """Top-(N//2) local maxima by value — an exact candidate bound.
+
+    Strict local maxima cannot be adjacent, so an N-sample row holds at most
+    ``ceil((N-1)/2)`` of them; the top-``(N+1)//2`` by value therefore
+    contain EVERY peak.  Returns ``(cand_vals, cand_idx)`` value-descending
+    (ties index-ascending, ``lax.top_k`` convention); non-peak slots carry
+    ``-inf``.
+    """
+    m = (x.shape[0] + 1) // 2
+    return jax.lax.top_k(jnp.where(local_maxima(x), x, -jnp.inf), m)
+
+
+def _prominences_at(x: jax.Array, cand_vals: jax.Array,
+                    cand_idx: jax.Array) -> jax.Array:
+    """Topographic prominence at the candidate positions only.
+
+    Same pairwise formulation as :func:`prominences` on ``(M, N)`` masks
+    instead of ``(N, N)`` — the full dense pass wastes >half its vector ops
+    on non-peak rows (round-5 velocity bisection: 3.2 ms of a 15.5 ms
+    dispatch).
+    """
+    n = x.shape[0]
+    i = cand_idx[:, None]
+    j = jnp.arange(n)[None, :]
+    xi = cand_vals[:, None]
+    xj = x[None, :]
+    higher_left = (j < i) & (xj > xi)
+    nhl = jnp.max(jnp.where(higher_left, j, -1), axis=1)
+    in_left = (j > nhl[:, None]) & (j <= i)
+    left_min = jnp.min(jnp.where(in_left, xj, jnp.inf), axis=1)
+    higher_right = (j > i) & (xj > xi)
+    nhr = jnp.min(jnp.where(higher_right, j, n), axis=1)
+    in_right = (j >= i) & (j < nhr[:, None])
+    right_min = jnp.min(jnp.where(in_right, xj, jnp.inf), axis=1)
+    return cand_vals - jnp.maximum(left_min, right_min)
 
 
 @partial(jax.jit, static_argnames=("min_prominence",))
@@ -216,25 +267,8 @@ def best_prominent_peak(x: jax.Array, min_prominence: float):
     Returns ``(index, found)``.
     """
     n = x.shape[0]
-    m = (n + 1) // 2  # max possible strict local maxima
-    peak_mask = local_maxima(x)
-    cand_vals, cand_idx = jax.lax.top_k(
-        jnp.where(peak_mask, x, -jnp.inf), m)
-    i = cand_idx[:, None]  # (M, 1)
-    j = jnp.arange(n)[None, :]
-    xi = cand_vals[:, None]
-    xj = x[None, :]
-
-    higher_left = (j < i) & (xj > xi)
-    nhl = jnp.max(jnp.where(higher_left, j, -1), axis=1)
-    in_left = (j > nhl[:, None]) & (j <= i)
-    left_min = jnp.min(jnp.where(in_left, xj, jnp.inf), axis=1)
-    higher_right = (j > i) & (xj > xi)
-    nhr = jnp.min(jnp.where(higher_right, j, n), axis=1)
-    in_right = (j >= i) & (j < nhr[:, None])
-    right_min = jnp.min(jnp.where(in_right, xj, jnp.inf), axis=1)
-    prom = cand_vals - jnp.maximum(left_min, right_min)
-
+    cand_vals, cand_idx = _candidate_peaks(x)
+    prom = _prominences_at(x, cand_vals, cand_idx)
     passing = jnp.isfinite(cand_vals) & (prom >= min_prominence)
     # exact argmax-first semantics: highest passing value, ties broken
     # toward the LOWEST index (jnp.argmax returns the first occurrence in

@@ -633,3 +633,41 @@ def test_best_prominent_peak_matches_dense(rng):
             want = dense(jnp.asarray(row), thr)
             got_i, got_f = p.best_prominent_peak(jnp.asarray(row), thr)
             assert (int(got_i), bool(got_f)) == want, (thr, row[:8], want)
+
+
+def test_top_peaks_candidate_path_matches_dense(rng):
+    """Candidate-restricted top_peaks_within_threshold == dense formulation."""
+    import jax.numpy as jnp
+
+    from mmwave_radar_processing_tpu.ops import peaks as p
+
+    def dense(x_db, max_peaks, min_prominence, threshold_db):
+        mask = p.local_maxima(x_db)
+        mask = mask & (p.prominences(x_db, mask) >= min_prominence)
+        vals = jnp.where(mask, x_db, -jnp.inf)
+        mask = mask & (x_db >= jnp.max(vals) - threshold_db)
+        vals = jnp.where(mask, x_db, -jnp.inf)
+        top_vals, top_idx = jax.lax.top_k(vals, max_peaks)
+        valid = jnp.isfinite(top_vals)
+        return top_idx, jnp.where(valid, top_vals, 0.0), valid
+
+    import jax
+
+    for n in (8, 63, 70):
+        rows = [rng.standard_normal(n).astype(np.float32) * 8
+                for _ in range(30)]
+        rows.append(np.round(rng.standard_normal(n) * 2).astype(np.float32))
+        rows.append(np.zeros(n, np.float32))
+        for row in rows:
+            for mp, pr, thr in ((3, 6.0, 20.0), (2, 6.0, 20.0),
+                                (3, 0.5, 5.0)):
+                wi, wv, wm = dense(jnp.asarray(row), mp, pr, thr)
+                gi, gv, gm = p.top_peaks_within_threshold(
+                    jnp.asarray(row), mp, pr, thr)
+                np.testing.assert_array_equal(np.asarray(gm),
+                                              np.asarray(wm), err_msg=str(row[:6]))
+                m = np.asarray(wm)
+                np.testing.assert_array_equal(np.asarray(gi)[m],
+                                              np.asarray(wi)[m])
+                np.testing.assert_array_equal(np.asarray(gv)[m],
+                                              np.asarray(wv)[m])
