@@ -181,3 +181,25 @@ def test_viewer_headless_export(sim_dataset, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     produced = [p for p in (movie, movie[:-4] + ".gif") if os.path.exists(p)]
     assert produced and os.path.getsize(produced[0]) > 1000
+
+
+def test_bench_no_health_never_updates_expected(tmp_path):
+    """--no-health + --update-expected must NOT touch the known-good record.
+
+    Round-5 review regression: an unchecked (possibly degraded) capture could
+    previously be persisted as the known-good record, defeating the
+    3x-below-record anomaly criterion for every future run.  A CPU debug run
+    (tiny batch, health skipped) exercises exactly that path.
+    """
+    import json
+    import shutil
+
+    expected = os.path.join(REPO, "HEALTH_EXPECTED.json")
+    before = open(expected).read()
+    r = _run(["bench.py", "--batch", "8", "--iters", "2", "--repeats", "1",
+              "--no-health", "--update-expected"], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["degraded_run"] is None  # health explicitly skipped
+    after = open(expected).read()
+    assert after == before, "unchecked run must not update the record"
